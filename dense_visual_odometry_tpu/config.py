@@ -1,0 +1,88 @@
+"""Typed configuration for the tracking solvers.
+
+The reference passes free-form JSON kwargs through its factory
+(``/root/reference/src/test_dvo.py:50-54`` -> ``core/__init__.py:14-40``,
+knobs documented at ``base_robust_dvo.py:34-76``).  Here the same knob set
+is a frozen dataclass (hashable, so it can be a jit static argument), with
+validation and a loader that accepts the reference's JSON schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TWeighterConfig:
+    """t-distribution IRLS scale estimation (reference t_weighter.py:11-19)."""
+
+    dof: float = 5.0
+    initial_sigma: float = 5.0
+    tolerance: float = 1e-3
+    max_iterations: int = 50
+    # Kerl's sigma^2 fixed point divides by N; the reference omits the 1/N
+    # (t_weighter.py:38-47, SURVEY quirk #3).  True = the correct update.
+    normalize_scale: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustDVOConfig:
+    """Coarse-to-fine photometric Gauss-Newton tracking configuration.
+
+    Field names follow the reference's knobs (base_robust_dvo.py:34-76) so
+    its JSON config files load unchanged.
+    """
+
+    levels: int = 4
+    use_weighter: bool = False
+    max_increased_steps_allowed: int = 0
+    sigma: Optional[float] = None  # motion-prior strength (None = no prior)
+    tolerance: float = 1e-6
+    max_iterations: int = 100
+    approximate_image2_gradient: bool = False
+    max_distance: float = 5.0
+    weighter: TWeighterConfig = dataclasses.field(default_factory=TWeighterConfig)
+    # Intensities quantized to integers like the reference's uint8 gray
+    # (base_dense_visual_odometry.py:58); False keeps full float precision.
+    quantize_intensity: bool = False
+
+    def __post_init__(self):
+        if self.levels < 1:
+            raise ValueError(f"levels must be >= 1, got {self.levels}")
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        if self.sigma is not None and self.sigma <= 0:
+            raise ValueError("sigma must be positive or None")
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "RobustDVOConfig":
+        """Build from a reference-style JSON config dict.
+
+        Ignores the reference's backend-selection keys (``use_gpu``,
+        ``height``, ``width`` — gpu_…py:16-20): there is one backend here
+        and no preallocation.
+        """
+        data = dict(data)
+        for ignored in ("use_gpu", "height", "width", "method"):
+            data.pop(ignored, None)
+        # Weighter hyper-params (hard-coded in the reference's ctor) come in
+        # as a nested dict here; top-level max_iterations/tolerance belong
+        # to the solver, matching the reference JSON schema.
+        wdata = data.pop("weighter", None)
+        known = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(data) - known
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        if wdata is not None:
+            data["weighter"] = (
+                wdata if isinstance(wdata, TWeighterConfig) else TWeighterConfig(**wdata)
+            )
+        return cls(**data)
+
+    @classmethod
+    def from_json(cls, path) -> "RobustDVOConfig":
+        with Path(path).open("r") as fp:
+            return cls.from_dict(json.load(fp))

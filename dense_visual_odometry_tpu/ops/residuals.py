@@ -1,0 +1,189 @@
+"""The hot op: photometric residuals + 6-DoF Jacobian + normal equations.
+
+This is the TPU-native redesign of the reference's per-iteration pixel pass:
+
+- CPU reference: deproject -> transform -> project -> bilinear -> residual
+  with separate Numba kernels and boolean compaction
+  (``cpu_robust_dense_visual_odometry.py:134-254``).
+- CUDA reference: one fused per-pixel kernel, but the full H*W x 6 Jacobian
+  is read back through unified memory and reduced on the host every
+  iteration (``gpu_robust_dense_visual_odometry.py:109-121`` — its main
+  scalability flaw, SURVEY §3.4).
+
+Here: one fused XLA computation over the dense pixel grid, fixed shapes,
+validity masks instead of compaction, and the J^T W J / J^T W r reduction
+happens on-device as a (N,6)^T @ (N,6) MXU contraction.  Only the 6x6
+system leaves the op.
+
+Jacobian convention (matches the reference math, ``utils/jacobian.py:39-42``):
+for the left-multiplicative update ``T <- exp(delta) @ T`` the 2x6 warp
+Jacobian J_w is evaluated at the *transformed* point X' = T X (the CUDA
+kernel does this correctly; the CPU path evaluates at X — SURVEY quirk).
+Twist layout (upsilon, phi) = translation first.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+from dense_visual_odometry_tpu.ops.interp import bilinear_sample
+
+
+class ResidualSystem(NamedTuple):
+    """Per-level linearized system and diagnostics."""
+
+    hessian: jnp.ndarray  # (6, 6)  J^T W J
+    rhs: jnp.ndarray  # (6,)  -J^T W r
+    error: jnp.ndarray  # scalar: mean weighted squared residual
+    count: jnp.ndarray  # scalar: number of valid pixels (f32)
+
+
+def deproject_grid(depth_m: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
+    """Dense camera-frame points from metric depth: (H, W) -> (H, W, 3)."""
+    h, w = depth_m.shape[-2], depth_m.shape[-1]
+    k_inv = jnp.linalg.inv(intrinsics)
+    u = jnp.arange(w, dtype=jnp.float32)
+    v = jnp.arange(h, dtype=jnp.float32)
+    ray_x = k_inv[0, 0] * u[None, :] + k_inv[0, 1] * v[:, None] + k_inv[0, 2]
+    ray_y = k_inv[1, 0] * u[None, :] + k_inv[1, 1] * v[:, None] + k_inv[1, 2]
+    x = ray_x * depth_m
+    y = ray_y * depth_m
+    return jnp.stack([x, y, depth_m], axis=-1)
+
+
+def warp_jacobian_times_grad(
+    points: jnp.ndarray,
+    grad_x: jnp.ndarray,
+    grad_y: jnp.ndarray,
+    fx: jnp.ndarray,
+    fy: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rows of the 1x6 residual Jacobian: grad^T @ J_w, evaluated per pixel.
+
+    points : (H, W, 3) 3-D points at which J_w is evaluated.
+    grad_x/grad_y : (H, W) image gradient samples.
+    -> (H, W, 6) float32, zeroed where ``valid`` is False.
+
+    Closed form (reference utils/jacobian.py:39-42):
+      row_x = fx * [1/z, 0, -x/z^2, -xy/z^2, 1 + x^2/z^2, -y/z]
+      row_y = fy * [0, 1/z, -y/z^2, -(1 + y^2/z^2), xy/z^2, x/z]
+    """
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    z_safe = jnp.where(valid, z, 1.0)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+    gx = grad_x * fx
+    gy = grad_y * fy
+
+    j0 = gx * inv_z
+    j1 = gy * inv_z
+    j2 = -(gx * x + gy * y) * inv_z2
+    j3 = -gx * x * y * inv_z2 - gy * (1.0 + y * y * inv_z2)
+    j4 = gx * (1.0 + x * x * inv_z2) + gy * x * y * inv_z2
+    j5 = -gx * y * inv_z + gy * x * inv_z
+    jac = jnp.stack([j0, j1, j2, j3, j4, j5], axis=-1)
+    return jnp.where(valid[..., None], jac, 0.0)
+
+
+def warp_residuals(
+    gray_prev: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    gray_curr: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    transform: jnp.ndarray,
+    grad_x_curr: Optional[jnp.ndarray] = None,
+    grad_y_curr: Optional[jnp.ndarray] = None,
+    precomputed_jacobian: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense photometric residuals + Jacobian for one pyramid level.
+
+    Exactly one of (grad_x_curr/grad_y_curr) or ``precomputed_jacobian``
+    must be given:
+
+    - gradients of the *current* image -> exact mode: sample grad I2 at the
+      warped coordinates, J_w at the transformed points (reference
+      ``approximate_image2_gradient=False`` path, done right).
+    - ``precomputed_jacobian`` (H, W, 6) -> approximate/inverse-compositional
+      mode: constant J from the previous frame's gradients (reference
+      ``_setup`` precompute, cpu_…py:60-77).
+
+    Returns (residuals (H,W), jacobian (H,W,6), valid (H,W) bool), with
+    residuals/jacobian zeroed outside ``valid``.
+    """
+    h, w = gray_prev.shape[-2:]
+    points = deproject_grid(depth_prev_m, intrinsics)
+    depth_valid = depth_prev_m > 0.0
+
+    rot = transform[..., :3, :3]
+    tvec = transform[..., :3, 3]
+    pts_t = jnp.einsum("ij,hwj->hwi", rot, points) + tvec
+
+    zc = pts_t[..., 2]
+    in_front = zc > 1e-6
+    z_safe = jnp.where(in_front, zc, 1.0)
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    # Full projection including skew/principal point.
+    u = (intrinsics[0, 0] * pts_t[..., 0] + intrinsics[0, 1] * pts_t[..., 1]
+         + intrinsics[0, 2] * zc) / z_safe
+    v = (intrinsics[1, 1] * pts_t[..., 1] + intrinsics[1, 2] * zc) / z_safe
+
+    warped_intensity, warp_ok = bilinear_sample(gray_curr, u, v)
+    valid = depth_valid & in_front & warp_ok
+
+    residuals = jnp.where(valid, warped_intensity - gray_prev, 0.0)
+
+    if precomputed_jacobian is not None:
+        jacobian = jnp.where(valid[..., None], precomputed_jacobian, 0.0)
+    else:
+        gx, _ = bilinear_sample(grad_x_curr, u, v)
+        gy, _ = bilinear_sample(grad_y_curr, u, v)
+        jacobian = warp_jacobian_times_grad(pts_t, gx, gy, fx, fy, valid)
+
+    return residuals, jacobian, valid
+
+
+def approximate_jacobian(
+    gray_prev: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    grad_x_prev: jnp.ndarray,
+    grad_y_prev: jnp.ndarray,
+) -> jnp.ndarray:
+    """Constant residual Jacobian from previous-frame gradients.
+
+    grad I2(w(x)) ~= grad I1(x), J_w at the untransformed points: estimate
+    independent, so it is hoisted out of the Gauss-Newton loop (reference
+    cpu_…py:60-77).
+    """
+    points = deproject_grid(depth_prev_m, intrinsics)
+    valid = depth_prev_m > 0.0
+    return warp_jacobian_times_grad(
+        points, grad_x_prev, grad_y_prev, intrinsics[0, 0], intrinsics[1, 1], valid
+    )
+
+
+def normal_equations(
+    residuals: jnp.ndarray,
+    jacobian: jnp.ndarray,
+    weights: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> ResidualSystem:
+    """Reduce to the 6x6 Gauss-Newton system on-device.
+
+    H = J^T W J, b = -J^T W r, err = sum(w r^2)/count.  The contraction is
+    a (N,6)^T @ (N,6) matmul — MXU work, f32 accumulation; only 36+6+2
+    scalars leave.
+    """
+    jac = jacobian.reshape(-1, 6)
+    res = residuals.reshape(-1)
+    wts = weights.reshape(-1)
+
+    jw = jac * wts[:, None]
+    hess = jnp.einsum("ni,nj->ij", jw, jac)
+    rhs = -jw.T @ res
+    count = jnp.sum(valid.astype(jnp.float32))
+    error = jnp.sum(wts * res * res) / jnp.maximum(count, 1.0)
+    return ResidualSystem(hessian=hess, rhs=rhs, error=error, count=count)
