@@ -1,0 +1,315 @@
+"""Robust dense visual odometry: coarse-to-fine photometric Gauss-Newton.
+
+TPU-native redesign of the reference solver
+(``/root/reference/src/dense_visual_odometry/core/robust_dense_visual_odometry/base_robust_dvo.py:137-236``):
+the host-side double loop (levels x GN iterations with numpy/scipy per
+iteration) becomes **one jitted program per frame pair**: pyramids are
+static tuples unrolled at trace time, each level's GN iteration runs as a
+``lax.while_loop`` whose carry holds the estimate, the motion-prior anchor
+and the full stopping state (tolerance break, divergence counter
+``max_increased_steps_allowed``, best-estimate semantics), and every
+residual pass reduces to the 6x6 normal equations on-device — nothing
+pixel-sized ever reaches the host.
+
+Stopping semantics match the reference exactly (base_robust_dvo.py:203-232):
+
+- the increment is only applied when the error *decreased* and the loop has
+  not converged, so the returned estimate is always the best one seen;
+- ``|err - err_prev| < tolerance``  => stop without applying the increment;
+- error increases bump a counter; ``counter > max_increased_steps_allowed``
+  => stop (the estimate keeps its last accepted value).
+
+Deliberate deviations from reference *bugs* (SURVEY §5 quirks — behaviour
+on valid inputs is matched, the bugs are not):
+
+- Sobel gradients are normalized by 1/8 (true intensity derivatives).  The
+  reference feeds raw ksize-3 Sobel values (gain 8) into J, silently
+  shrinking every GN step by 8x (jacobian.py:47-73).
+- The motion-prior energy term uses the consistent
+  ``0.5 * (1/sigma) * ||log(old)||^2`` instead of the reference's
+  ``0.5 * sigma * ||log(old)||`` (quirk #5, base_robust_dvo.py:195).
+- The t-weighter sigma^2 fixed point is 1/N-normalized by default
+  (quirk #3); ``TWeighterConfig(normalize_scale=False)`` restores the
+  reference update.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dense_visual_odometry_tpu.camera import CameraModel
+from dense_visual_odometry_tpu.config import RobustDVOConfig
+from dense_visual_odometry_tpu.models.weighting import t_distribution_weights
+from dense_visual_odometry_tpu.ops import gradients as grad_ops
+from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
+from dense_visual_odometry_tpu.ops.residuals import (
+    approximate_jacobian,
+    normal_equations,
+    warp_residuals,
+)
+from dense_visual_odometry_tpu.utils.lie import se3
+
+# Raw ksize-3 Sobel has gain 8 per unit pixel step ([1,2,1] smoothing x
+# [-1,0,1] central difference); divide it out to get d(intensity)/d(pixel).
+_SOBEL_GAIN = 8.0
+
+
+class FrameData(NamedTuple):
+    """Preprocessed per-frame state: gray + metric-depth pyramids.
+
+    ``gray[l]`` / ``depth_m[l]`` is pyramid level ``l`` (level 0 = full
+    resolution); tuples have static length so jit unrolls over levels.
+    Depth is meters with 0 marking invalid pixels (the reference keeps raw
+    DN pyramids and scales at deprojection — median-filter + decimate
+    commute with the positive scale, so filtering in meters is identical).
+    """
+
+    gray: Tuple[jnp.ndarray, ...]
+    depth_m: Tuple[jnp.ndarray, ...]
+
+
+class LevelDiagnostics(NamedTuple):
+    iterations: jnp.ndarray  # i32: GN iterations executed at this level
+    error: jnp.ndarray  # f32: final mean weighted squared residual
+    count: jnp.ndarray  # f32: valid-pixel count at the last iteration
+
+
+class TrackResult(NamedTuple):
+    """Output of one frame-to-frame alignment.
+
+    ``transform`` maps camera_{t-1} points into camera_t (the reference's
+    ``estimate``, base_dense_visual_odometry.py:72-79: the new world pose
+    is ``pose_{t-1} @ transform^-1``).
+    """
+
+    transform: jnp.ndarray  # (4, 4)
+    success: jnp.ndarray  # bool: finite estimate with enough valid pixels
+    diagnostics: LevelDiagnostics  # stacked coarse-to-fine, length = levels
+
+
+def preprocess_frame(
+    color_or_gray: jnp.ndarray,
+    depth_raw: jnp.ndarray,
+    camera: CameraModel,
+    *,
+    levels: int,
+    max_distance: float = 5.0,
+    quantize: bool = False,
+) -> FrameData:
+    """Color/gray + raw depth -> pyramids, fully on device.
+
+    color_or_gray : (H, W, 3) RGB or (H, W) gray, any numeric dtype.
+    depth_raw : (H, W) raw depth DN (0 = invalid).
+    """
+    if color_or_gray.ndim == 3:
+        gray = pyr_ops.rgb_to_gray(color_or_gray, quantize=quantize)
+    else:
+        gray = color_or_gray.astype(jnp.float32)
+    depth_m = pyr_ops.preprocess_depth(depth_raw, camera.depth_scale, max_distance)
+    return FrameData(
+        gray=pyr_ops.build_pyramid(gray, levels),
+        depth_m=pyr_ops.build_pyramid(depth_m, levels),
+    )
+
+
+class _GNCarry(NamedTuple):
+    estimate: jnp.ndarray  # (4, 4) current (= best accepted) transform
+    prior_anchor: jnp.ndarray  # (4, 4) motion-prior anchor ("old")
+    err_prev: jnp.ndarray  # f32 error of the last *accepted* step
+    err_last: jnp.ndarray  # f32 error of the last evaluation (diagnostics)
+    count_last: jnp.ndarray  # f32 valid pixels at last evaluation
+    inc_count: jnp.ndarray  # i32 consecutive error increases
+    it: jnp.ndarray  # i32 iterations executed
+    done: jnp.ndarray  # bool
+
+
+def _solve_level(
+    gray_prev: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    gray_curr: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    estimate0: jnp.ndarray,
+    prior_anchor0: jnp.ndarray,
+    cfg: RobustDVOConfig,
+) -> Tuple[jnp.ndarray, LevelDiagnostics]:
+    """Gauss-Newton at one pyramid level as a single ``while_loop``."""
+    # Estimate-independent work hoisted out of the GN loop (the reference's
+    # _setup, cpu_robust_dense_visual_odometry.py:54-77).
+    if cfg.approximate_image2_gradient:
+        gx1, gy1 = grad_ops.sobel(gray_prev)
+        pre_jac = approximate_jacobian(
+            gray_prev, depth_prev_m, intrinsics,
+            gx1 / _SOBEL_GAIN, gy1 / _SOBEL_GAIN,
+        )
+        grads = None
+    else:
+        gx2, gy2 = grad_ops.sobel(gray_curr)
+        grads = (gx2 / _SOBEL_GAIN, gy2 / _SOBEL_GAIN)
+        pre_jac = None
+
+    use_prior = cfg.sigma is not None
+    inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
+
+    def evaluate(estimate, prior_anchor):
+        if pre_jac is not None:
+            res, jac, valid = warp_residuals(
+                gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
+                precomputed_jacobian=pre_jac,
+            )
+        else:
+            res, jac, valid = warp_residuals(
+                gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
+                grads[0], grads[1],
+            )
+        if cfg.use_weighter:
+            weights = t_distribution_weights(res * res, valid, cfg.weighter)
+        else:
+            weights = valid.astype(jnp.float32)
+        sys = normal_equations(res, jac, weights, valid)
+
+        hess, rhs, err = sys.hessian, sys.rhs, sys.error
+        if use_prior:
+            log_old = se3.log(prior_anchor)
+            hess = hess + inv_cov * jnp.eye(6, dtype=jnp.float32)
+            rhs = rhs + inv_cov * log_old
+            err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old)
+        return hess, rhs, err, sys.count
+
+    def cond(c: _GNCarry):
+        return jnp.logical_and(~c.done, c.it < cfg.max_iterations)
+
+    def body(c: _GNCarry) -> _GNCarry:
+        hess, rhs, err, count = evaluate(c.estimate, c.prior_anchor)
+
+        # 6x6 solve with tiny Tikhonov damping for rank-deficient H (the
+        # reference used lstsq/gelsy for the same robustness).
+        damp = 1e-8 * (1.0 + jnp.trace(hess))
+        delta = jnp.linalg.solve(
+            hess + damp * jnp.eye(6, dtype=jnp.float32), rhs
+        )
+        ok = jnp.all(jnp.isfinite(delta)) & (count >= 6.0)
+        delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+        inc = se3.exp(delta)
+
+        err_diff = err - c.err_prev
+        converged = jnp.abs(err_diff) < cfg.tolerance
+        decreased = err_diff < 0.0
+        accept = decreased & ~converged & ok
+
+        estimate = jnp.where(accept, inc @ c.estimate, c.estimate)
+        prior_anchor = (
+            jnp.where(accept, se3.inverse(inc) @ c.prior_anchor, c.prior_anchor)
+            if use_prior
+            else c.prior_anchor
+        )
+        err_prev = jnp.where(accept, err, c.err_prev)
+        inc_count = jnp.where(
+            converged, c.inc_count, jnp.where(decreased, 0, c.inc_count + 1)
+        )
+        done = converged | (inc_count > cfg.max_increased_steps_allowed) | ~ok
+        return _GNCarry(
+            estimate=estimate,
+            prior_anchor=prior_anchor,
+            err_prev=err_prev,
+            err_last=err,
+            count_last=count,
+            inc_count=inc_count,
+            it=c.it + 1,
+            done=done,
+        )
+
+    init = _GNCarry(
+        estimate=estimate0,
+        prior_anchor=prior_anchor0,
+        err_prev=jnp.float32(jnp.finfo(jnp.float32).max),
+        err_last=jnp.float32(jnp.finfo(jnp.float32).max),
+        count_last=jnp.float32(0.0),
+        inc_count=jnp.int32(0),
+        it=jnp.int32(0),
+        done=jnp.bool_(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    diag = LevelDiagnostics(
+        iterations=final.it, error=final.err_last, count=final.count_last
+    )
+    return final.estimate, diag
+
+
+def track(
+    prev: FrameData,
+    curr: FrameData,
+    camera: CameraModel,
+    cfg: RobustDVOConfig,
+    init_guess: Optional[jnp.ndarray] = None,
+    last_transform: Optional[jnp.ndarray] = None,
+) -> TrackResult:
+    """Align ``curr`` against ``prev``: the reference's ``_step``.
+
+    Coarse-to-fine over ``cfg.levels`` pyramid levels (unrolled — static),
+    threading the estimate; each level re-anchors the motion prior at
+    ``last_transform`` (base_robust_dvo.py:154).  Pure and jittable; wrap
+    in ``jax.jit``/``vmap`` at the call site or use :func:`make_tracker`.
+    """
+    eye = jnp.eye(4, dtype=jnp.float32)
+    estimate = eye if init_guess is None else init_guess
+    anchor = eye if last_transform is None else last_transform
+
+    diags = []
+    for level in range(cfg.levels - 1, -1, -1):
+        k_level = camera.at(level)
+        estimate, diag = _solve_level(
+            prev.gray[level],
+            prev.depth_m[level],
+            curr.gray[level],
+            k_level,
+            estimate,
+            anchor,
+            cfg,
+        )
+        diags.append(diag)
+
+    stacked = LevelDiagnostics(
+        iterations=jnp.stack([d.iterations for d in diags]),
+        error=jnp.stack([d.error for d in diags]),
+        count=jnp.stack([d.count for d in diags]),
+    )
+    success = (
+        jnp.all(jnp.isfinite(estimate))
+        & jnp.isfinite(stacked.error[-1])
+        & (stacked.count[-1] >= 6.0)
+    )
+    return TrackResult(transform=estimate, success=success, diagnostics=stacked)
+
+
+def step_pose(pose: jnp.ndarray, result: TrackResult) -> jnp.ndarray:
+    """World-pose update: ``pose_t = pose_{t-1} @ transform^-1`` on success
+    (reference base_dense_visual_odometry.py:72-79), unchanged on failure.
+    """
+    new_pose = pose @ se3.inverse(result.transform)
+    return jnp.where(result.success, new_pose, pose)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _track_jit(prev, curr, intrinsics, depth_scale_dummy, cfg, init_guess, last_transform):
+    camera = CameraModel(intrinsics=intrinsics, depth_scale=1.0)
+    del depth_scale_dummy  # pyramids are already metric
+    return track(prev, curr, camera, cfg, init_guess, last_transform)
+
+
+def make_tracker(cfg: RobustDVOConfig):
+    """A jitted ``(prev, curr, intrinsics, init_guess, last_transform) ->
+    TrackResult`` closure over a static config."""
+
+    def run(prev, curr, intrinsics, init_guess=None, last_transform=None):
+        eye = jnp.eye(4, dtype=jnp.float32)
+        return _track_jit(
+            prev, curr, jnp.asarray(intrinsics, jnp.float32), 0.0, cfg,
+            eye if init_guess is None else init_guess,
+            eye if last_transform is None else last_transform,
+        )
+
+    return run

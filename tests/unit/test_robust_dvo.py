@@ -1,0 +1,238 @@
+"""Gauss-Newton solver tests: synthetic known-motion recovery + real frames.
+
+Synthetic tests are the jit-native version of the reference's solver
+invariance tests (test_cpu_robust_dense_visual_odometry.py:20-73); the
+real-pair test implements the end-to-end convergence check the reference
+left commented out (:75-93).
+"""
+
+import json
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dense_visual_odometry_tpu.camera import CameraModel
+from dense_visual_odometry_tpu.config import RobustDVOConfig
+from dense_visual_odometry_tpu.models.robust_dvo import (
+    FrameData,
+    make_tracker,
+    preprocess_frame,
+    step_pose,
+    track,
+)
+from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
+from dense_visual_odometry_tpu.utils.lie import se3
+
+H, W = 120, 160
+K = np.array(
+    [[120.0, 0.0, (W - 1) / 2], [0.0, 120.0, (H - 1) / 2], [0.0, 0.0, 1.0]],
+    dtype=np.float32,
+)
+Z0 = 2.0
+
+
+def _texture(u, v):
+    """Smooth, feature-rich intensity function of pixel coordinates."""
+    return (
+        120.0
+        + 50.0 * np.sin(2 * np.pi * u / 31.0)
+        + 40.0 * np.cos(2 * np.pi * v / 23.0)
+        + 25.0 * np.sin(2 * np.pi * (u + 2 * v) / 57.0)
+        + 15.0 * np.cos(2 * np.pi * (3 * u - v) / 83.0)
+    )
+
+
+def _shifted_pair(tx):
+    """Frame pair related by pure x-translation at constant depth Z0.
+
+    transform maps prev->curr camera points, so the pixel shift is
+    s = fx * tx / Z0 and I2(u) = I1(u - s).
+    """
+    v, u = np.meshgrid(np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64), indexing="ij")
+    s = K[0, 0] * tx / Z0
+    gray1 = _texture(u, v).astype(np.float32)
+    gray2 = _texture(u - s, v).astype(np.float32)
+    depth = np.full((H, W), Z0, dtype=np.float32)
+    return gray1, gray2, depth
+
+
+def _frame_data(gray, depth_m, levels):
+    return FrameData(
+        gray=pyr_ops.build_pyramid(jnp.asarray(gray), levels),
+        depth_m=pyr_ops.build_pyramid(jnp.asarray(depth_m), levels),
+    )
+
+
+class TestSyntheticConvergence:
+    def test_identity_pair_stays_identity(self):
+        cfg = RobustDVOConfig(levels=3, max_iterations=30, tolerance=1e-7)
+        gray1, _, depth = _shifted_pair(0.0)
+        fd = _frame_data(gray1, depth, cfg.levels)
+        camera = CameraModel.create(K, 1.0)
+        result = track(fd, fd, camera, cfg)
+        assert bool(result.success)
+        xi = np.asarray(se3.log(result.transform))
+        np.testing.assert_allclose(xi, 0.0, atol=1e-4)
+
+    @pytest.mark.parametrize("tx", [0.01, -0.02])
+    def test_recovers_translation(self, tx):
+        cfg = RobustDVOConfig(levels=3, max_iterations=60, tolerance=1e-9)
+        gray1, gray2, depth = _shifted_pair(tx)
+        prev = _frame_data(gray1, depth, cfg.levels)
+        curr = _frame_data(gray2, depth, cfg.levels)
+        camera = CameraModel.create(K, 1.0)
+        result = track(prev, curr, camera, cfg)
+        assert bool(result.success)
+        est = np.asarray(result.transform)
+        assert est[0, 3] == pytest.approx(tx, abs=2e-3)
+        np.testing.assert_allclose(est[1:3, 3], 0.0, atol=2e-3)
+        # Rotation close to identity.
+        np.testing.assert_allclose(est[:3, :3], np.eye(3), atol=2e-3)
+
+    def test_recovers_small_rotation(self):
+        """In-plane z-rotation of the camera about the optical axis."""
+        angle = 0.01  # rad
+        cfg = RobustDVOConfig(levels=3, max_iterations=60, tolerance=1e-9)
+        v, u = np.meshgrid(np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64), indexing="ij")
+        gray1 = _texture(u, v).astype(np.float32)
+        # Camera rotates by +angle about z: pixel p in prev maps to
+        # R(p - c) + c in curr (constant depth, principal-point centered).
+        c = np.array([K[0, 2], K[1, 2]])
+        ca, sa = np.cos(angle), np.sin(angle)
+        # I2(p') = I1(p) with p' = Rot(p); equivalently I2(q) = I1(Rot^-1 q).
+        du, dv = u - c[0], v - c[1]
+        uq = ca * du + sa * dv + c[0]
+        vq = -sa * du + ca * dv + c[1]
+        gray2 = _texture(uq, vq).astype(np.float32)
+        depth = np.full((H, W), Z0, dtype=np.float32)
+
+        camera = CameraModel.create(K, 1.0)
+        result = track(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        assert bool(result.success)
+        xi = np.asarray(se3.log(result.transform))
+        assert xi[5] == pytest.approx(angle, abs=2e-3)  # omega_z
+        np.testing.assert_allclose(xi[3:5], 0.0, atol=2e-3)
+
+    def test_weighter_and_prior_still_converge(self):
+        cfg = RobustDVOConfig(
+            levels=3, max_iterations=60, tolerance=1e-9,
+            use_weighter=True, sigma=10.0, max_increased_steps_allowed=2,
+        )
+        tx = 0.015
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        result = track(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+            last_transform=jnp.eye(4),
+        )
+        assert bool(result.success)
+        assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
+
+    def test_approximate_gradient_mode(self):
+        cfg = RobustDVOConfig(
+            levels=3, max_iterations=80, tolerance=1e-9,
+            approximate_image2_gradient=True,
+        )
+        tx = 0.01
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        result = track(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        assert bool(result.success)
+        assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
+
+    def test_step_pose_composition(self):
+        cfg = RobustDVOConfig(levels=2, max_iterations=20)
+        gray1, gray2, depth = _shifted_pair(0.01)
+        camera = CameraModel.create(K, 1.0)
+        result = track(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        pose = step_pose(jnp.eye(4), result)
+        # World pose moves by transform^-1.
+        np.testing.assert_allclose(
+            np.asarray(pose), np.asarray(se3.inverse(result.transform)), atol=1e-6
+        )
+
+    def test_tracker_jit_wrapper(self):
+        cfg = RobustDVOConfig(levels=2, max_iterations=20)
+        tracker = make_tracker(cfg)
+        gray1, gray2, depth = _shifted_pair(0.01)
+        prev = _frame_data(gray1, depth, cfg.levels)
+        curr = _frame_data(gray2, depth, cfg.levels)
+        r1 = tracker(prev, curr, K)
+        r2 = tracker(prev, curr, K)  # cached executable
+        np.testing.assert_array_equal(np.asarray(r1.transform), np.asarray(r2.transform))
+
+
+class TestRealFrames:
+    @pytest.fixture(scope="class")
+    def pair(self, test_data_dir: Path):
+        import cv2
+
+        gt = json.loads((test_data_dir / "ground_truth.json").read_text())
+        camera = CameraModel.from_yaml(test_data_dir / "camera_intrinsics.yaml")
+        frames = []
+        for key in ("1", "2"):
+            rgb = cv2.imread(str(test_data_dir / gt[key]["rgb"]))
+            gray = cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY).astype(np.float32)
+            depth = cv2.imread(
+                str(test_data_dir / gt[key]["depth"]), cv2.IMREAD_ANYDEPTH
+            ).astype(np.float32)
+            pose = np.array(gt[key]["transformation"], dtype=np.float64)
+            frames.append((gray, depth, pose))
+        return camera, frames
+
+    def test_ground_truth_transform_gives_small_residuals(self, pair):
+        """Physics invariant: residual mean ~ 0 / small std when warping
+        with the ground-truth transform (reference test :46-73)."""
+        from dense_visual_odometry_tpu.ops import gradients as grad_ops
+        from dense_visual_odometry_tpu.ops.residuals import warp_residuals
+
+        camera, frames = pair
+        (g1, d1, p1), (g2, d2, p2) = frames
+        # transform maps cam1 points to cam2: T = p2^-1 @ p1.
+        t_gt = jnp.asarray(np.linalg.inv(p2) @ p1, dtype=jnp.float32)
+        depth_m = jnp.asarray(d1) * camera.depth_scale
+        gx, gy = grad_ops.sobel(jnp.asarray(g2))
+        res, _, valid = warp_residuals(
+            jnp.asarray(g1), depth_m, jnp.asarray(g2),
+            camera.intrinsics, t_gt, gx, gy,
+        )
+        r = np.asarray(res)[np.asarray(valid)]
+        assert abs(r.mean()) < 10.0
+        assert r.std() < 40.0
+
+    def test_track_real_pair_beats_identity(self, pair):
+        """End-to-end: estimated transform closer to GT than identity is."""
+        camera, frames = pair
+        (g1, d1, p1), (g2, d2, p2) = frames
+        cfg = RobustDVOConfig(levels=4, max_iterations=100, use_weighter=True)
+        prev = preprocess_frame(jnp.asarray(g1), jnp.asarray(d1), camera, levels=cfg.levels)
+        curr = preprocess_frame(jnp.asarray(g2), jnp.asarray(d2), camera, levels=cfg.levels)
+        result = track(prev, curr, camera, cfg)
+        assert bool(result.success)
+
+        t_gt = np.linalg.inv(p2) @ p1
+        est = np.asarray(result.transform, dtype=np.float64)
+        err_est = np.linalg.norm(est[:3, 3] - t_gt[:3, 3])
+        err_id = np.linalg.norm(t_gt[:3, 3])
+        assert err_est < err_id * 0.5
+        assert err_est < 0.05  # within 5 cm on a consecutive TUM-style pair
