@@ -1,0 +1,159 @@
+"""Benchmark CLI: track a sequence, report timing + accuracy.
+
+Capability parity with the reference benchmark runner
+(``/root/reference/src/test_dvo.py:26-56,298-345``): same dataset choices
+(``test`` bundled set / ``tum-fr1`` directory), JSON method config, report
+JSON + TUM trajectory export, per-frame timing and error logs — plus
+in-framework ATE-RMSE / RPE (the reference delegated those to external TUM
+tooling).
+
+Usage::
+
+    python -m dense_visual_odometry_tpu.apps.benchmark test
+    python -m dense_visual_odometry_tpu.apps.benchmark tum-fr1 -d <dir> \
+        -c config.json -o out/ --size 100 --platform cpu
+
+Timing notes: the first frame includes XLA compilation; the summary
+separates warm-up from steady-state.  ``--platform cpu`` forces the CPU
+backend (this must happen before first JAX use, handled in ``main``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+logger = logging.getLogger("dvo.benchmark")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Dense visual odometry benchmark")
+    parser.add_argument("benchmark", choices=["test", "tum-fr1", "tum"], help="dataset type")
+    parser.add_argument("-d", "--data-dir", type=str, default=None, help="dataset directory")
+    parser.add_argument("-c", "--config", type=str, default=None, help="JSON solver config")
+    parser.add_argument("-o", "--output-dir", type=str, default=None, help="output directory")
+    parser.add_argument("--camera", type=str, default=None, help="camera intrinsics YAML")
+    parser.add_argument("-s", "--size", type=int, default=None, help="max frames")
+    parser.add_argument("--platform", type=str, default=None, choices=["cpu", "tpu", "axon"],
+                        help="force a JAX platform (default: environment's)")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    return parser.parse_args(argv)
+
+
+def run(args) -> dict:
+    import jax
+    import numpy as np
+
+    from dense_visual_odometry_tpu import metrics
+    from dense_visual_odometry_tpu.config import RobustDVOConfig
+    from dense_visual_odometry_tpu.io import (
+        load_bundled_sequence,
+        load_tum_sequence,
+        trajectory,
+    )
+    from dense_visual_odometry_tpu.models.session import OdometrySession
+
+    if args.benchmark == "test":
+        seq = load_bundled_sequence(args.data_dir, size=args.size)
+    else:
+        seq = load_tum_sequence(args.data_dir, camera_yaml=args.camera, size=args.size)
+
+    cfg = RobustDVOConfig.from_json(args.config) if args.config else RobustDVOConfig(
+        levels=4, use_weighter=True
+    )
+    logger.info("sequence '%s': %d frames; config: %s", seq.name, len(seq), cfg)
+    logger.info("jax backend: %s (%d devices)", jax.default_backend(), jax.device_count())
+
+    session = OdometrySession(seq.camera, cfg)
+
+    poses, transforms, frame_times = [], [], []
+    t_start = time.perf_counter()
+    for i, (rgb, depth) in enumerate(seq):
+        t0 = time.perf_counter()
+        pose = session.step(rgb, depth)
+        pose.matrix.block_until_ready()
+        dt = time.perf_counter() - t0
+        frame_times.append(dt)
+        poses.append(np.asarray(pose.matrix, dtype=np.float64))
+        transforms.append(np.asarray(session.last_output.transform, dtype=np.float64))
+        if seq.gt_poses is not None:
+            # Reference-style per-frame error logs (test_dvo.py:313-321).
+            # gt poses are absolute; compare relative to the first frame.
+            gt_rel = np.linalg.inv(seq.gt_poses[0]) @ seq.gt_poses[i]
+            terr = np.linalg.norm(poses[-1][:3, 3] - gt_rel[:3, 3])
+            logger.info("frame %d: %.1f ms, trans err %.4f m", i, dt * 1e3, terr)
+        else:
+            logger.info("frame %d: %.1f ms", i, dt * 1e3)
+    total_time = time.perf_counter() - t_start
+
+    poses = np.stack(poses)
+    steady = frame_times[1:] if len(frame_times) > 1 else frame_times
+    summary = {
+        "frames": len(seq),
+        "total_time_s": total_time,
+        "first_frame_s": frame_times[0],
+        "mean_frame_ms": float(np.mean(steady) * 1e3),
+        "median_frame_ms": float(np.median(steady) * 1e3),
+        "fps": float(1.0 / np.mean(steady)),
+        "backend": jax.default_backend(),
+    }
+
+    if seq.gt_poses is not None:
+        gt_rel = np.einsum(
+            "ij,njk->nik", np.linalg.inv(seq.gt_poses[0]), seq.gt_poses
+        )
+        ate, _ = metrics.ate_rmse(poses, gt_rel)
+        rpe_t, rpe_r = metrics.rpe(poses, gt_rel)
+        trans_err, rot_err = metrics.per_frame_errors(poses, gt_rel)
+        summary.update(
+            ate_rmse_m=ate,
+            rpe_trans_rmse_m=rpe_t,
+            rpe_rot_rmse_rad=rpe_r,
+            mean_trans_err_m=float(trans_err.mean()),
+            mean_rot_err_rad=float(rot_err.mean()),
+        )
+
+    if args.output_dir:
+        out = Path(args.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        trajectory.save_tum_trajectory(out / "trajectory.txt", seq.timestamps, poses)
+        trajectory.save_report(
+            out / "report.json",
+            sequence_info=seq.extra,
+            timestamps=seq.timestamps,
+            estimated_poses=poses,
+            transforms=transforms,
+            gt_poses=seq.gt_poses,
+            per_frame=[{"time_s": t} for t in frame_times],
+            summary=summary,
+        )
+        logger.info("report written to %s", out)
+
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s: %(message)s",
+        stream=sys.stdout,
+    )
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

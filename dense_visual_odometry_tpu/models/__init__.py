@@ -1,0 +1,13 @@
+from dense_visual_odometry_tpu.models import robust, session, weighting  # noqa: F401
+from dense_visual_odometry_tpu.models.robust import (  # noqa: F401
+    FrameData,
+    TrackResult,
+    make_tracker,
+    preprocess_frame,
+    track_pair,
+)
+from dense_visual_odometry_tpu.models.session import (  # noqa: F401
+    OdometrySession,
+    SessionState,
+    session_step,
+)

@@ -239,7 +239,7 @@ def _solve_level(
     return final.estimate, diag
 
 
-def track(
+def track_pair(
     prev: FrameData,
     curr: FrameData,
     camera: CameraModel,
@@ -297,7 +297,7 @@ def step_pose(pose: jnp.ndarray, result: TrackResult) -> jnp.ndarray:
 def _track_jit(prev, curr, intrinsics, depth_scale_dummy, cfg, init_guess, last_transform):
     camera = CameraModel(intrinsics=intrinsics, depth_scale=1.0)
     del depth_scale_dummy  # pyramids are already metric
-    return track(prev, curr, camera, cfg, init_guess, last_transform)
+    return track_pair(prev, curr, camera, cfg, init_guess, last_transform)
 
 
 def make_tracker(cfg: RobustDVOConfig):

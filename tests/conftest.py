@@ -62,6 +62,9 @@ def test_data_dir() -> Path:
     return REFERENCE_TEST_DATA
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng() -> np.random.Generator:
+    # Function-scoped: every test draws the same values regardless of which
+    # other tests ran before it (a session-scoped generator made outcomes
+    # depend on test ordering).
     return np.random.default_rng(1234)

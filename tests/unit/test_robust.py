@@ -15,12 +15,12 @@ import pytest
 
 from dense_visual_odometry_tpu.camera import CameraModel
 from dense_visual_odometry_tpu.config import RobustDVOConfig
-from dense_visual_odometry_tpu.models.robust_dvo import (
+from dense_visual_odometry_tpu.models.robust import (
     FrameData,
     make_tracker,
     preprocess_frame,
     step_pose,
-    track,
+    track_pair,
 )
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.utils.lie import se3
@@ -71,7 +71,7 @@ class TestSyntheticConvergence:
         gray1, _, depth = _shifted_pair(0.0)
         fd = _frame_data(gray1, depth, cfg.levels)
         camera = CameraModel.create(K, 1.0)
-        result = track(fd, fd, camera, cfg)
+        result = track_pair(fd, fd, camera, cfg)
         assert bool(result.success)
         xi = np.asarray(se3.log(result.transform))
         np.testing.assert_allclose(xi, 0.0, atol=1e-4)
@@ -83,7 +83,7 @@ class TestSyntheticConvergence:
         prev = _frame_data(gray1, depth, cfg.levels)
         curr = _frame_data(gray2, depth, cfg.levels)
         camera = CameraModel.create(K, 1.0)
-        result = track(prev, curr, camera, cfg)
+        result = track_pair(prev, curr, camera, cfg)
         assert bool(result.success)
         est = np.asarray(result.transform)
         assert est[0, 3] == pytest.approx(tx, abs=2e-3)
@@ -109,7 +109,7 @@ class TestSyntheticConvergence:
         depth = np.full((H, W), Z0, dtype=np.float32)
 
         camera = CameraModel.create(K, 1.0)
-        result = track(
+        result = track_pair(
             _frame_data(gray1, depth, cfg.levels),
             _frame_data(gray2, depth, cfg.levels),
             camera,
@@ -128,7 +128,7 @@ class TestSyntheticConvergence:
         tx = 0.015
         gray1, gray2, depth = _shifted_pair(tx)
         camera = CameraModel.create(K, 1.0)
-        result = track(
+        result = track_pair(
             _frame_data(gray1, depth, cfg.levels),
             _frame_data(gray2, depth, cfg.levels),
             camera,
@@ -146,7 +146,7 @@ class TestSyntheticConvergence:
         tx = 0.01
         gray1, gray2, depth = _shifted_pair(tx)
         camera = CameraModel.create(K, 1.0)
-        result = track(
+        result = track_pair(
             _frame_data(gray1, depth, cfg.levels),
             _frame_data(gray2, depth, cfg.levels),
             camera,
@@ -159,7 +159,7 @@ class TestSyntheticConvergence:
         cfg = RobustDVOConfig(levels=2, max_iterations=20)
         gray1, gray2, depth = _shifted_pair(0.01)
         camera = CameraModel.create(K, 1.0)
-        result = track(
+        result = track_pair(
             _frame_data(gray1, depth, cfg.levels),
             _frame_data(gray2, depth, cfg.levels),
             camera,
@@ -227,7 +227,7 @@ class TestRealFrames:
         cfg = RobustDVOConfig(levels=4, max_iterations=100, use_weighter=True)
         prev = preprocess_frame(jnp.asarray(g1), jnp.asarray(d1), camera, levels=cfg.levels)
         curr = preprocess_frame(jnp.asarray(g2), jnp.asarray(d2), camera, levels=cfg.levels)
-        result = track(prev, curr, camera, cfg)
+        result = track_pair(prev, curr, camera, cfg)
         assert bool(result.success)
 
         t_gt = np.linalg.inv(p2) @ p1
