@@ -1,0 +1,113 @@
+"""Headline benchmark: tracked frames/s/chip on 640x480 RGB-D pairs.
+
+Prints ONE JSON line:
+  {"metric": "tracked_fps_640x480", "value": N, "unit": "frames/s",
+   "vs_baseline": N / baseline_fps, ...extras}
+
+Protocol: the 9 consecutive pairs of the bundled 640x480 set (real frames,
+real convergence behaviour), tiled to a batch of B pairs, tracked by the
+batched 4-level IRLS tracker (`parallel.batched_track_pair`) — the
+BASELINE.json config-3 shape.  Steady-state timing over several iterations
+after warmup; ATE-RMSE from a full sequential session pass is attached so
+accuracy and speed are recorded together.
+
+Baseline: the reference (pfontana96/dense-visual-odometry) cannot run in
+this image — its CPU tier is Numba JIT and numba is not installed.
+``benchmarks/baseline.json`` therefore records a measured stand-in
+(this framework's own single-pair sequential throughput on the host CPU
+via JAX-CPU, same algorithm/config — documented there); vs_baseline is
+measured TPU fps over that.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+BASELINE_FILE = REPO / "benchmarks" / "baseline.json"
+BATCH = 32
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dense_visual_odometry_tpu import metrics
+    from dense_visual_odometry_tpu.config import RobustDVOConfig
+    from dense_visual_odometry_tpu.io import load_bundled_sequence
+    from dense_visual_odometry_tpu.models.robust import preprocess_frame
+    from dense_visual_odometry_tpu.models.session import OdometrySession
+    from dense_visual_odometry_tpu.parallel import batched_track_pair, stack_frame_data
+
+    cfg = RobustDVOConfig(levels=4, max_iterations=100, use_weighter=True)
+    seq = load_bundled_sequence()
+
+    # Preprocess all 10 frames once (device-side pyramids).
+    frames = []
+    pre = jax.jit(
+        lambda img, dep: preprocess_frame(
+            img, dep, seq.camera, levels=cfg.levels, max_distance=cfg.max_distance
+        )
+    )
+    for rgb, depth in seq:
+        frames.append(jax.tree.map(lambda x: x, pre(jnp.asarray(rgb), jnp.asarray(depth))))
+
+    pairs = [(frames[i], frames[i + 1]) for i in range(len(frames) - 1)]
+    reps = -(-BATCH // len(pairs))
+    pairs = (pairs * reps)[:BATCH]
+    prev_b = stack_frame_data([p for p, _ in pairs])
+    curr_b = stack_frame_data([c for _, c in pairs])
+    k = jnp.asarray(seq.camera.intrinsics)
+
+    def run_once():
+        out = batched_track_pair(prev_b, curr_b, k, cfg)
+        out.transform.block_until_ready()
+        return out
+
+    for _ in range(WARMUP):
+        out = run_once()
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = run_once()
+    elapsed = time.perf_counter() - t0
+    fps = BATCH * ITERS / elapsed
+    ms_per_batch = elapsed / ITERS * 1e3
+
+    # Accuracy: sequential session over the 10 frames.
+    session = OdometrySession(seq.camera, cfg)
+    poses = np.stack(
+        [np.asarray(session.step(rgb, depth).matrix, dtype=np.float64) for rgb, depth in seq]
+    )
+    gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(seq.gt_poses[0]), seq.gt_poses)
+    ate, _ = metrics.ate_rmse(poses, gt_rel)
+
+    baseline_fps = None
+    if BASELINE_FILE.exists():
+        baseline_fps = json.loads(BASELINE_FILE.read_text()).get("baseline_fps")
+
+    result = {
+        "metric": "tracked_fps_640x480",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "batch": BATCH,
+        "ms_per_batch": round(ms_per_batch, 1),
+        "ate_rmse_m": round(ate, 5),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "all_success": bool(jnp.all(out.success)),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,8 @@ class TrackResult(NamedTuple):
     transform: jnp.ndarray  # (4, 4)
     success: jnp.ndarray  # bool: finite estimate with enough valid pixels
     diagnostics: LevelDiagnostics  # stacked coarse-to-fine, length = levels
+    hessian: jnp.ndarray  # (6, 6) finest-level photometric J^T W J at the
+    # solution: the Laplace information of the estimate (pose-graph weight)
 
 
 def preprocess_frame(
@@ -122,6 +124,7 @@ class _GNCarry(NamedTuple):
     err_prev: jnp.ndarray  # f32 error of the last *accepted* step
     err_last: jnp.ndarray  # f32 error of the last evaluation (diagnostics)
     count_last: jnp.ndarray  # f32 valid pixels at last evaluation
+    hess_last: jnp.ndarray  # (6, 6) photometric J^T W J at last evaluation
     inc_count: jnp.ndarray  # i32 consecutive error increases
     it: jnp.ndarray  # i32 iterations executed
     done: jnp.ndarray  # bool
@@ -136,7 +139,16 @@ def _solve_level(
     prior_anchor0: jnp.ndarray,
     cfg: RobustDVOConfig,
 ) -> Tuple[jnp.ndarray, LevelDiagnostics]:
-    """Gauss-Newton at one pyramid level as a single ``while_loop``."""
+    """Gauss-Newton at one pyramid level as a single ``while_loop``.
+
+    Natively batched: images (..., H, W), transforms (..., 4, 4).  The
+    stopping state is per batch element (a converged pair freezes while
+    the loop runs on for the others); the loop exits when every element is
+    done.  This is how the batch dimension stays inside plain tensor ops
+    instead of a ``vmap`` over control flow (whose per-element loop
+    transformation multiplies XLA compile time ~linearly in B).
+    """
+    batch_shape = estimate0.shape[:-2]
     # Estimate-independent work hoisted out of the GN loop (the reference's
     # _setup, cpu_robust_dense_visual_odometry.py:54-77).
     if cfg.approximate_image2_gradient:
@@ -166,77 +178,88 @@ def _solve_level(
                 grads[0], grads[1],
             )
         if cfg.use_weighter:
-            weights = t_distribution_weights(res * res, valid, cfg.weighter)
+            weights = t_distribution_weights(
+                res * res, valid, cfg.weighter, event_ndim=2
+            )
         else:
             weights = valid.astype(jnp.float32)
         sys = normal_equations(res, jac, weights, valid)
 
         hess, rhs, err = sys.hessian, sys.rhs, sys.error
+        photometric_hess = hess  # without the prior: the measurement information
         if use_prior:
             log_old = se3.log(prior_anchor)
             hess = hess + inv_cov * jnp.eye(6, dtype=jnp.float32)
             rhs = rhs + inv_cov * log_old
-            err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old)
-        return hess, rhs, err, sys.count
+            err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
+        return hess, rhs, err, sys.count, photometric_hess
 
     def cond(c: _GNCarry):
-        return jnp.logical_and(~c.done, c.it < cfg.max_iterations)
+        return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
 
     def body(c: _GNCarry) -> _GNCarry:
-        hess, rhs, err, count = evaluate(c.estimate, c.prior_anchor)
+        hess, rhs, err, count, photo_hess = evaluate(c.estimate, c.prior_anchor)
 
         # 6x6 solve with tiny Tikhonov damping for rank-deficient H (the
         # reference used lstsq/gelsy for the same robustness).
-        damp = 1e-8 * (1.0 + jnp.trace(hess))
+        damp = 1e-8 * (1.0 + jnp.trace(hess, axis1=-2, axis2=-1))
         delta = jnp.linalg.solve(
-            hess + damp * jnp.eye(6, dtype=jnp.float32), rhs
-        )
-        ok = jnp.all(jnp.isfinite(delta)) & (count >= 6.0)
-        delta = jnp.where(ok, delta, jnp.zeros_like(delta))
+            hess + damp[..., None, None] * jnp.eye(6, dtype=jnp.float32),
+            rhs[..., None],
+        )[..., 0]
+        ok = jnp.all(jnp.isfinite(delta), axis=-1) & (count >= 6.0)
+        delta = jnp.where(ok[..., None], delta, 0.0)
         inc = se3.exp(delta)
 
         err_diff = err - c.err_prev
         converged = jnp.abs(err_diff) < cfg.tolerance
         decreased = err_diff < 0.0
-        accept = decreased & ~converged & ok
+        active = ~c.done
+        accept = decreased & ~converged & ok & active
+        sel = accept[..., None, None]
 
-        estimate = jnp.where(accept, inc @ c.estimate, c.estimate)
+        estimate = jnp.where(sel, inc @ c.estimate, c.estimate)
         prior_anchor = (
-            jnp.where(accept, se3.inverse(inc) @ c.prior_anchor, c.prior_anchor)
+            jnp.where(sel, se3.inverse(inc) @ c.prior_anchor, c.prior_anchor)
             if use_prior
             else c.prior_anchor
         )
         err_prev = jnp.where(accept, err, c.err_prev)
         inc_count = jnp.where(
-            converged, c.inc_count, jnp.where(decreased, 0, c.inc_count + 1)
+            converged | ~active,
+            c.inc_count,
+            jnp.where(decreased, 0, c.inc_count + 1),
         )
-        done = converged | (inc_count > cfg.max_increased_steps_allowed) | ~ok
+        done = c.done | converged | (inc_count > cfg.max_increased_steps_allowed) | ~ok
         return _GNCarry(
             estimate=estimate,
             prior_anchor=prior_anchor,
             err_prev=err_prev,
-            err_last=err,
-            count_last=count,
+            err_last=jnp.where(active, err, c.err_last),
+            count_last=jnp.where(active, count, c.count_last),
+            hess_last=jnp.where(active[..., None, None], photo_hess, c.hess_last),
             inc_count=inc_count,
             it=c.it + 1,
             done=done,
         )
 
+    fmax = jnp.finfo(jnp.float32).max
     init = _GNCarry(
         estimate=estimate0,
         prior_anchor=prior_anchor0,
-        err_prev=jnp.float32(jnp.finfo(jnp.float32).max),
-        err_last=jnp.float32(jnp.finfo(jnp.float32).max),
-        count_last=jnp.float32(0.0),
-        inc_count=jnp.int32(0),
+        err_prev=jnp.full(batch_shape, fmax, jnp.float32),
+        err_last=jnp.full(batch_shape, fmax, jnp.float32),
+        count_last=jnp.zeros(batch_shape, jnp.float32),
+        hess_last=jnp.zeros(batch_shape + (6, 6), jnp.float32),
+        inc_count=jnp.zeros(batch_shape, jnp.int32),
         it=jnp.int32(0),
-        done=jnp.bool_(False),
+        done=jnp.zeros(batch_shape, bool),
     )
     final = jax.lax.while_loop(cond, body, init)
     diag = LevelDiagnostics(
         iterations=final.it, error=final.err_last, count=final.count_last
     )
-    return final.estimate, diag
+    return final.estimate, diag, final.hess_last
 
 
 def track_pair(
@@ -254,14 +277,20 @@ def track_pair(
     ``last_transform`` (base_robust_dvo.py:154).  Pure and jittable; wrap
     in ``jax.jit``/``vmap`` at the call site or use :func:`make_tracker`.
     """
-    eye = jnp.eye(4, dtype=jnp.float32)
-    estimate = eye if init_guess is None else init_guess
-    anchor = eye if last_transform is None else last_transform
+    batch_shape = prev.gray[0].shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), batch_shape + (4, 4))
+    estimate = eye if init_guess is None else jnp.broadcast_to(
+        init_guess, batch_shape + (4, 4)
+    )
+    anchor = eye if last_transform is None else jnp.broadcast_to(
+        last_transform, batch_shape + (4, 4)
+    )
 
     diags = []
+    hessian = jnp.zeros((6, 6), jnp.float32)
     for level in range(cfg.levels - 1, -1, -1):
         k_level = camera.at(level)
-        estimate, diag = _solve_level(
+        estimate, diag, hessian = _solve_level(
             prev.gray[level],
             prev.depth_m[level],
             curr.gray[level],
@@ -278,11 +307,13 @@ def track_pair(
         count=jnp.stack([d.count for d in diags]),
     )
     success = (
-        jnp.all(jnp.isfinite(estimate))
+        jnp.all(jnp.isfinite(estimate), axis=(-2, -1))
         & jnp.isfinite(stacked.error[-1])
         & (stacked.count[-1] >= 6.0)
     )
-    return TrackResult(transform=estimate, success=success, diagnostics=stacked)
+    return TrackResult(
+        transform=estimate, success=success, diagnostics=stacked, hessian=hessian
+    )
 
 
 def step_pose(pose: jnp.ndarray, result: TrackResult) -> jnp.ndarray:
@@ -290,7 +321,7 @@ def step_pose(pose: jnp.ndarray, result: TrackResult) -> jnp.ndarray:
     (reference base_dense_visual_odometry.py:72-79), unchanged on failure.
     """
     new_pose = pose @ se3.inverse(result.transform)
-    return jnp.where(result.success, new_pose, pose)
+    return jnp.where(result.success[..., None, None], new_pose, pose)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -1,0 +1,232 @@
+"""Keyframe-based dense SLAM: frame-to-keyframe tracking + windowed BA.
+
+New scope beyond the reference (north star / BASELINE.json configs 2 and
+4).  The reference tracks frame-to-frame and composes estimates blindly;
+here:
+
+- the front-end tracks every frame against the current *keyframe* (drift
+  only accumulates at keyframe switches, not every frame);
+- a frame is promoted to keyframe when motion or image overlap leaves the
+  validity envelope (translation / rotation / valid-pixel-ratio policy);
+- each keyframe switch records a pose-graph edge weighted by the
+  tracker's final photometric Hessian (its Laplace information);
+- a sliding window of the last W keyframe poses is re-optimized by the
+  pose-graph GN backend (:mod:`dense_visual_odometry_tpu.models.posegraph`)
+  every time a keyframe is added.
+
+Keyframe decisions read three scalars back to the host per frame (the
+transform norm + valid-pixel counts) — diagnostics the CLI reads anyway;
+all pixel work stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dense_visual_odometry_tpu.camera import CameraModel
+from dense_visual_odometry_tpu.config import RobustDVOConfig
+from dense_visual_odometry_tpu.models import posegraph
+from dense_visual_odometry_tpu.models.robust import (
+    FrameData,
+    make_tracker,
+    preprocess_frame,
+)
+from dense_visual_odometry_tpu.utils.lie import Pose, se3
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframePolicy:
+    """When to promote a frame to keyframe."""
+
+    max_translation: float = 0.15  # meters of motion vs the keyframe
+    max_rotation: float = 0.15  # radians vs the keyframe
+    min_valid_ratio: float = 0.5  # valid px at finest level / at keyframe time
+    window: int = 8  # BA window length (keyframes)
+
+
+class SlamSession:
+    """Host-facing streaming SLAM pipeline.
+
+    >>> slam = SlamSession(camera, RobustDVOConfig(levels=4))
+    >>> for rgb, depth in seq:
+    ...     pose = slam.step(rgb, depth)
+    >>> slam.optimized_trajectory()   # all frame poses after windowed BA
+    """
+
+    def __init__(
+        self,
+        camera: CameraModel,
+        config: Optional[RobustDVOConfig] = None,
+        policy: Optional[KeyframePolicy] = None,
+    ):
+        self.camera = camera
+        self.config = config or RobustDVOConfig(levels=4, use_weighter=True)
+        self.policy = policy or KeyframePolicy()
+        self._tracker = make_tracker(self.config)
+        self._intrinsics = jnp.asarray(camera.intrinsics, jnp.float32)
+
+        self._keyframe: Optional[FrameData] = None
+        self._kf_valid_count: float = 0.0
+        # Keyframe graph state (host lists; poses are small).
+        self.keyframe_poses: List[np.ndarray] = []  # camera-to-world, 4x4
+        self.keyframe_indices: List[int] = []  # frame index of each keyframe
+        self._edges_i: List[int] = []
+        self._edges_j: List[int] = []
+        self._edges_meas: List[np.ndarray] = []
+        self._edges_info: List[np.ndarray] = []
+        # Per-frame outputs.
+        self.frame_poses: List[np.ndarray] = []  # world poses (composed)
+        self._frame_kf: List[int] = []  # owning keyframe per frame
+        self._frame_rel: List[np.ndarray] = []  # kf->frame relative pose
+        self._rel_to_kf = np.eye(4)  # current frame-in-keyframe pose
+        self._last_inc = np.eye(4)  # last frame-to-frame motion (init guess)
+        self._frame_idx = 0
+        self.last_result = None
+
+    # -- internals ---------------------------------------------------------
+    def _valid_count(self, fd: FrameData) -> float:
+        return float(jnp.sum(fd.depth_m[0] > 0.0))
+
+    def _promote(self, fd: FrameData, world_pose: np.ndarray, measured_from_prev_kf):
+        """Make ``fd`` the keyframe with pose ``world_pose``."""
+        kf_id = len(self.keyframe_poses)
+        if measured_from_prev_kf is not None:
+            meas, info = measured_from_prev_kf
+            self._edges_i.append(kf_id - 1)
+            self._edges_j.append(kf_id)
+            self._edges_meas.append(meas)
+            self._edges_info.append(info)
+        self.keyframe_poses.append(world_pose.copy())
+        self.keyframe_indices.append(self._frame_idx)
+        self._keyframe = fd
+        self._kf_valid_count = self._valid_count(fd)
+        self._rel_to_kf = np.eye(4)
+        if measured_from_prev_kf is not None and len(self.keyframe_poses) >= 3:
+            self._optimize_window()
+
+    def _optimize_window(self):
+        w = self.policy.window
+        k_total = len(self.keyframe_poses)
+        start = max(0, k_total - w)
+        idx = {g: l for l, g in enumerate(range(start, k_total))}
+        sel = [
+            e
+            for e in range(len(self._edges_i))
+            if self._edges_i[e] >= start and self._edges_j[e] >= start
+        ]
+        if not sel:
+            return
+        edges = posegraph.PoseGraphEdges(
+            i=jnp.asarray([idx[self._edges_i[e]] for e in sel], jnp.int32),
+            j=jnp.asarray([idx[self._edges_j[e]] for e in sel], jnp.int32),
+            measurement=jnp.asarray(
+                np.stack([self._edges_meas[e] for e in sel]), jnp.float32
+            ),
+            information=jnp.asarray(
+                np.stack([self._edges_info[e] for e in sel]), jnp.float32
+            ),
+        )
+        window_poses = jnp.asarray(
+            np.stack(self.keyframe_poses[start:]), jnp.float32
+        )
+        out = posegraph.optimize_pose_graph(window_poses, edges, max_iterations=10)
+        optimized = np.asarray(out.poses, dtype=np.float64)
+        if np.all(np.isfinite(optimized)):
+            for l, g in enumerate(range(start, k_total)):
+                self.keyframe_poses[g] = optimized[l]
+
+    # -- public API --------------------------------------------------------
+    def step(self, image, depth) -> Pose:
+        """Process one frame; returns its (front-end) world pose."""
+        fd = _preprocess(
+            jnp.asarray(image), jnp.asarray(depth), self._intrinsics,
+            jnp.float32(self.camera.depth_scale), self.config,
+        )
+        if self._keyframe is None:
+            pose = np.eye(4)
+            self._promote(fd, pose, None)
+            self.frame_poses.append(pose)
+            self._frame_kf.append(0)
+            self._frame_rel.append(np.eye(4))
+            self._frame_idx += 1
+            return Pose.from_matrix(pose)
+
+        # Track current frame against the keyframe; init from the composed
+        # motion so far plus the last inter-frame increment (constant
+        # velocity in the keyframe's frame).
+        init = jnp.asarray(
+            (self._last_inc @ np.linalg.inv(self._rel_to_kf)).astype(np.float32)
+        )
+        result = self._tracker(
+            self._keyframe, fd, self._intrinsics, init_guess=init,
+            last_transform=init,
+        )
+        self.last_result = result
+        success = bool(result.success)
+        transform = np.asarray(result.transform, dtype=np.float64)
+
+        kf_pose = self.keyframe_poses[-1]
+        if success:
+            prev_rel = self._rel_to_kf
+            rel = np.linalg.inv(transform)  # keyframe -> frame pose
+            self._last_inc = np.linalg.inv(rel) @ prev_rel  # frame motion
+            self._rel_to_kf = rel
+        world = kf_pose @ self._rel_to_kf
+
+        self.frame_poses.append(world)
+        self._frame_kf.append(len(self.keyframe_poses) - 1)
+        self._frame_rel.append(self._rel_to_kf.copy())
+
+        if success and self._needs_keyframe(fd, transform):
+            info = np.asarray(result.hessian, dtype=np.float64)
+            # Guard: information must be finite/PSD-ish; else identity.
+            if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
+                info = np.eye(6)
+            meas = self._rel_to_kf  # X_prev_kf^-1 @ X_new_kf
+            self._promote(fd, world, (meas.copy(), info))
+
+        self._frame_idx += 1
+        return Pose.from_matrix(world)
+
+    def _needs_keyframe(self, fd: FrameData, transform: np.ndarray) -> bool:
+        xi = np.asarray(se3.log(jnp.asarray(transform, jnp.float32)))
+        trans = float(np.linalg.norm(xi[:3]))
+        rot = float(np.linalg.norm(xi[3:]))
+        ratio = (
+            self._valid_count(fd) / self._kf_valid_count
+            if self._kf_valid_count > 0
+            else 0.0
+        )
+        return (
+            trans > self.policy.max_translation
+            or rot > self.policy.max_rotation
+            or ratio < self.policy.min_valid_ratio
+        )
+
+    def optimized_trajectory(self) -> np.ndarray:
+        """(N, 4, 4) world poses for every frame, re-anchored to the
+        BA-optimized keyframe poses."""
+        out = []
+        for kf, rel in zip(self._frame_kf, self._frame_rel):
+            out.append(self.keyframe_poses[kf] @ rel)
+        return np.stack(out) if out else np.zeros((0, 4, 4))
+
+    @property
+    def num_keyframes(self) -> int:
+        return len(self.keyframe_poses)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _preprocess(image, depth, intrinsics, depth_scale, cfg: RobustDVOConfig):
+    camera = CameraModel(intrinsics=intrinsics, depth_scale=depth_scale)
+    return preprocess_frame(
+        image, depth, camera,
+        levels=cfg.levels, max_distance=cfg.max_distance,
+        quantize=cfg.quantize_intensity,
+    )

@@ -22,16 +22,24 @@ def t_distribution_weights(
     residuals_sq: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: TWeighterConfig,
+    event_ndim: int = 0,
 ) -> jnp.ndarray:
     """Per-pixel t-distribution IRLS weights.
 
     Parameters
     ----------
-    residuals_sq : (...,) squared residuals (any shape).
+    residuals_sq : (..., *event) squared residuals.
     valid : same shape bool; invalid entries get weight 0 and do not
         contribute to the scale estimate.
     cfg : weighter hyper-parameters.  ``normalize_scale=False`` reproduces
         the reference's un-normalized sigma^2 update (t_weighter.py:38-47).
+    event_ndim : number of trailing axes forming one sample's pixels; a
+        separate scale is estimated per leading batch element.  0 = the
+        whole array is one sample.
+
+    The sigma^2 fixed point runs as one ``while_loop`` over a batched
+    lambda vector: each batch element freezes once converged, the loop
+    exits when all have (or at max_iterations).
 
     Returns
     -------
@@ -40,29 +48,40 @@ def t_distribution_weights(
     """
     dof = jnp.float32(cfg.dof)
     validf = valid.astype(jnp.float32)
-    count = jnp.maximum(jnp.sum(validf), 1.0)
-    denom = count if cfg.normalize_scale else jnp.float32(1.0)
+    axes = tuple(range(-event_ndim, 0)) if event_ndim else None
+    batch_shape = residuals_sq.shape[: residuals_sq.ndim - event_ndim] if event_ndim else ()
+    expand = (Ellipsis,) + (None,) * event_ndim if event_ndim else (Ellipsis,)
 
-    init_lambda = jnp.float32(1.0 / (cfg.initial_sigma**2))
+    count = jnp.maximum(jnp.sum(validf, axis=axes), 1.0)
+    denom = count if cfg.normalize_scale else jnp.ones_like(count)
+
+    init_lambda = jnp.full(batch_shape, 1.0 / (cfg.initial_sigma**2), jnp.float32)
 
     def cond(carry):
         _, it, done = carry
-        return jnp.logical_and(~done, it < cfg.max_iterations)
+        return jnp.logical_and(jnp.any(~done), it < cfg.max_iterations)
 
     def body(carry):
-        lam, it, _ = carry
+        lam, it, done = carry
         sigma_sq = (
-            jnp.sum(validf * residuals_sq * (dof + 1.0) / (dof + residuals_sq * lam))
+            jnp.sum(
+                validf * residuals_sq * (dof + 1.0)
+                / (dof + residuals_sq * lam[expand]),
+                axis=axes,
+            )
             / denom
         )
         new_lam = 1.0 / jnp.maximum(sigma_sq, 1e-20)
-        done = jnp.abs(new_lam - lam) < cfg.tolerance
-        return new_lam, it + 1, done
+        new_lam = jnp.where(done, lam, new_lam)
+        new_done = done | (jnp.abs(new_lam - lam) < cfg.tolerance)
+        return new_lam, it + 1, new_done
 
     lam, _, _ = jax.lax.while_loop(
-        cond, body, (init_lambda, jnp.int32(0), jnp.bool_(False))
+        cond,
+        body,
+        (init_lambda, jnp.int32(0), jnp.zeros(batch_shape, bool)),
     )
-    return validf * (dof + 1.0) / (dof + residuals_sq * lam)
+    return validf * (dof + 1.0) / (dof + residuals_sq * lam[expand])
 
 
 def huber_weights(

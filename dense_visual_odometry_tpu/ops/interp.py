@@ -28,9 +28,10 @@ def bilinear_sample(
 
     Parameters
     ----------
-    image : (H, W) float array.
-    u, v : broadcast-compatible float arrays of sample coordinates
-        (u = column/x, v = row/y), any shape.
+    image : (..., H, W) float array.
+    u, v : (..., H', W') sample coordinates (u = column/x, v = row/y) with
+        the same leading batch dims as ``image`` (each batch element
+        samples its own image).
 
     Returns
     -------
@@ -54,11 +55,16 @@ def bilinear_sample(
 
     img = image.astype(jnp.float32)
     flat = img.reshape(image.shape[:-2] + (h * w,))
-    base = y0c * w + x0c
-    v00 = jnp.take(flat, base, axis=-1)
-    v01 = jnp.take(flat, base + 1, axis=-1)
-    v10 = jnp.take(flat, base + w, axis=-1)
-    v11 = jnp.take(flat, base + w + 1, axis=-1)
+    base = (y0c * w + x0c).reshape(u.shape[:-2] + (-1,))
+
+    def gather(offset):
+        vals = jnp.take_along_axis(flat, base + offset, axis=-1)
+        return vals.reshape(u.shape)
+
+    v00 = gather(0)
+    v01 = gather(1)
+    v10 = gather(w)
+    v11 = gather(w + 1)
 
     top = v00 + wx * (v01 - v00)
     bot = v10 + wx * (v11 - v10)

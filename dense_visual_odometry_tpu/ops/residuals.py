@@ -15,6 +15,12 @@ validity masks instead of compaction, and the J^T W J / J^T W r reduction
 happens on-device as a (N,6)^T @ (N,6) MXU contraction.  Only the 6x6
 system leaves the op.
 
+Every function is **natively batched over leading dims** — (B, H, W) images
+with (B, 3, 3) intrinsics and (B, 4, 4) transforms run as one fused
+program over the whole batch.  This replaces ``vmap``-of-control-flow
+(which multiplies XLA compile cost) with plain bigger tensors, the shape
+TPUs want.
+
 Jacobian convention (matches the reference math, ``utils/jacobian.py:39-42``):
 for the left-multiplicative update ``T <- exp(delta) @ T`` the 2x6 warp
 Jacobian J_w is evaluated at the *transformed* point X' = T X (the CUDA
@@ -32,22 +38,26 @@ from dense_visual_odometry_tpu.ops.interp import bilinear_sample
 
 
 class ResidualSystem(NamedTuple):
-    """Per-level linearized system and diagnostics."""
+    """Per-level linearized system and diagnostics (batched over ...)."""
 
-    hessian: jnp.ndarray  # (6, 6)  J^T W J
-    rhs: jnp.ndarray  # (6,)  -J^T W r
-    error: jnp.ndarray  # scalar: mean weighted squared residual
-    count: jnp.ndarray  # scalar: number of valid pixels (f32)
+    hessian: jnp.ndarray  # (..., 6, 6)  J^T W J
+    rhs: jnp.ndarray  # (..., 6)  -J^T W r
+    error: jnp.ndarray  # (...,): mean weighted squared residual
+    count: jnp.ndarray  # (...,): number of valid pixels (f32)
 
 
 def deproject_grid(depth_m: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
-    """Dense camera-frame points from metric depth: (H, W) -> (H, W, 3)."""
+    """Dense camera-frame points from metric depth: (..., H, W) -> (..., H, W, 3)."""
     h, w = depth_m.shape[-2], depth_m.shape[-1]
     k_inv = jnp.linalg.inv(intrinsics)
     u = jnp.arange(w, dtype=jnp.float32)
     v = jnp.arange(h, dtype=jnp.float32)
-    ray_x = k_inv[0, 0] * u[None, :] + k_inv[0, 1] * v[:, None] + k_inv[0, 2]
-    ray_y = k_inv[1, 0] * u[None, :] + k_inv[1, 1] * v[:, None] + k_inv[1, 2]
+
+    def coef(i, j):
+        return k_inv[..., i, j][..., None, None]
+
+    ray_x = coef(0, 0) * u[None, :] + coef(0, 1) * v[:, None] + coef(0, 2)
+    ray_y = coef(1, 0) * u[None, :] + coef(1, 1) * v[:, None] + coef(1, 2)
     x = ray_x * depth_m
     y = ray_y * depth_m
     return jnp.stack([x, y, depth_m], axis=-1)
@@ -63,9 +73,10 @@ def warp_jacobian_times_grad(
 ) -> jnp.ndarray:
     """Rows of the 1x6 residual Jacobian: grad^T @ J_w, evaluated per pixel.
 
-    points : (H, W, 3) 3-D points at which J_w is evaluated.
-    grad_x/grad_y : (H, W) image gradient samples.
-    -> (H, W, 6) float32, zeroed where ``valid`` is False.
+    points : (..., H, W, 3) 3-D points at which J_w is evaluated.
+    grad_x/grad_y : (..., H, W) image gradient samples.
+    fx, fy : (...,) focal lengths (scalars or per-batch).
+    -> (..., H, W, 6) float32, zeroed where ``valid`` is False.
 
     Closed form (reference utils/jacobian.py:39-42):
       row_x = fx * [1/z, 0, -x/z^2, -xy/z^2, 1 + x^2/z^2, -y/z]
@@ -75,6 +86,8 @@ def warp_jacobian_times_grad(
     z_safe = jnp.where(valid, z, 1.0)
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
+    fx = jnp.asarray(fx)[..., None, None]
+    fy = jnp.asarray(fy)[..., None, None]
     gx = grad_x * fx
     gy = grad_y * fy
 
@@ -100,35 +113,37 @@ def warp_residuals(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Dense photometric residuals + Jacobian for one pyramid level.
 
-    Exactly one of (grad_x_curr/grad_y_curr) or ``precomputed_jacobian``
-    must be given:
+    All image arguments (..., H, W); ``intrinsics`` (..., 3, 3);
+    ``transform`` (..., 4, 4).  Exactly one of (grad_x_curr/grad_y_curr)
+    or ``precomputed_jacobian`` must be given:
 
     - gradients of the *current* image -> exact mode: sample grad I2 at the
       warped coordinates, J_w at the transformed points (reference
       ``approximate_image2_gradient=False`` path, done right).
-    - ``precomputed_jacobian`` (H, W, 6) -> approximate/inverse-compositional
-      mode: constant J from the previous frame's gradients (reference
-      ``_setup`` precompute, cpu_…py:60-77).
+    - ``precomputed_jacobian`` (..., H, W, 6) -> approximate/inverse-
+      compositional mode: constant J from the previous frame's gradients
+      (reference ``_setup`` precompute, cpu_…py:60-77).
 
-    Returns (residuals (H,W), jacobian (H,W,6), valid (H,W) bool), with
-    residuals/jacobian zeroed outside ``valid``.
+    Returns (residuals (..., H, W), jacobian (..., H, W, 6), valid bool),
+    with residuals/jacobian zeroed outside ``valid``.
     """
-    h, w = gray_prev.shape[-2:]
     points = deproject_grid(depth_prev_m, intrinsics)
     depth_valid = depth_prev_m > 0.0
 
     rot = transform[..., :3, :3]
     tvec = transform[..., :3, 3]
-    pts_t = jnp.einsum("ij,hwj->hwi", rot, points) + tvec
+    pts_t = jnp.einsum("...ij,...hwj->...hwi", rot, points) + tvec[..., None, None, :]
 
     zc = pts_t[..., 2]
     in_front = zc > 1e-6
     z_safe = jnp.where(in_front, zc, 1.0)
-    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+
+    def k(i, j):
+        return intrinsics[..., i, j][..., None, None]
+
     # Full projection including skew/principal point.
-    u = (intrinsics[0, 0] * pts_t[..., 0] + intrinsics[0, 1] * pts_t[..., 1]
-         + intrinsics[0, 2] * zc) / z_safe
-    v = (intrinsics[1, 1] * pts_t[..., 1] + intrinsics[1, 2] * zc) / z_safe
+    u = (k(0, 0) * pts_t[..., 0] + k(0, 1) * pts_t[..., 1] + k(0, 2) * zc) / z_safe
+    v = (k(1, 1) * pts_t[..., 1] + k(1, 2) * zc) / z_safe
 
     warped_intensity, warp_ok = bilinear_sample(gray_curr, u, v)
     valid = depth_valid & in_front & warp_ok
@@ -140,7 +155,9 @@ def warp_residuals(
     else:
         gx, _ = bilinear_sample(grad_x_curr, u, v)
         gy, _ = bilinear_sample(grad_y_curr, u, v)
-        jacobian = warp_jacobian_times_grad(pts_t, gx, gy, fx, fy, valid)
+        jacobian = warp_jacobian_times_grad(
+            pts_t, gx, gy, intrinsics[..., 0, 0], intrinsics[..., 1, 1], valid
+        )
 
     return residuals, jacobian, valid
 
@@ -161,7 +178,8 @@ def approximate_jacobian(
     points = deproject_grid(depth_prev_m, intrinsics)
     valid = depth_prev_m > 0.0
     return warp_jacobian_times_grad(
-        points, grad_x_prev, grad_y_prev, intrinsics[0, 0], intrinsics[1, 1], valid
+        points, grad_x_prev, grad_y_prev,
+        intrinsics[..., 0, 0], intrinsics[..., 1, 1], valid,
     )
 
 
@@ -173,17 +191,23 @@ def normal_equations(
 ) -> ResidualSystem:
     """Reduce to the 6x6 Gauss-Newton system on-device.
 
-    H = J^T W J, b = -J^T W r, err = sum(w r^2)/count.  The contraction is
-    a (N,6)^T @ (N,6) matmul — MXU work, f32 accumulation; only 36+6+2
-    scalars leave.
+    H = J^T W J, b = -J^T W r, err = sum(w r^2)/count over the pixel axes
+    (last two of ``residuals``); leading dims are batch.  The contraction
+    is a (N,6)^T @ (N,6) matmul per batch element — MXU work, f32
+    accumulation; only 36+6+2 scalars leave per element.
     """
-    jac = jacobian.reshape(-1, 6)
-    res = residuals.reshape(-1)
-    wts = weights.reshape(-1)
+    # Pixel axes are everything after the batch dims; the Jacobian fixes
+    # the split: (..., H, W, 6) -> batch = shape[:-3].  A flat (N, 6)
+    # Jacobian with (N,) residuals is one unbatched sample.
+    batch_shape = jacobian.shape[:-3] if jacobian.ndim >= 3 else ()
+    jac = jacobian.reshape(batch_shape + (-1, 6))
+    res = residuals.reshape(batch_shape + (-1,))
+    wts = weights.reshape(batch_shape + (-1,))
+    vld = valid.reshape(batch_shape + (-1,))
 
-    jw = jac * wts[:, None]
-    hess = jnp.einsum("ni,nj->ij", jw, jac)
-    rhs = -jw.T @ res
-    count = jnp.sum(valid.astype(jnp.float32))
-    error = jnp.sum(wts * res * res) / jnp.maximum(count, 1.0)
+    jw = jac * wts[..., None]
+    hess = jnp.einsum("...ni,...nj->...ij", jw, jac)
+    rhs = -jnp.einsum("...ni,...n->...i", jw, res)
+    count = jnp.sum(vld.astype(jnp.float32), axis=-1)
+    error = jnp.sum(wts * res * res, axis=-1) / jnp.maximum(count, 1.0)
     return ResidualSystem(hessian=hess, rhs=rhs, error=error, count=count)

@@ -138,6 +138,18 @@ def transform_points(transform: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("...ij,...nj->...ni", rot, points) + t[..., None, :]
 
 
+def adjoint(transform: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint Ad_T: (..., 4, 4) -> (..., 6, 6) for twists (upsilon, phi):
+    Ad = [[R, hat(t) @ R], [0, R]], so exp(Ad_T xi) = T exp(xi) T^-1."""
+    rot = transform[..., :3, :3]
+    t = transform[..., :3, 3]
+    out = jnp.zeros(transform.shape[:-2] + (6, 6), dtype=transform.dtype)
+    out = out.at[..., :3, :3].set(rot)
+    out = out.at[..., :3, 3:].set(so3.hat(t) @ rot)
+    out = out.at[..., 3:, 3:].set(rot)
+    return out
+
+
 def from_quat_t(quat_wxyz: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Build SE(3) matrix from (w,x,y,z) quaternion + translation."""
     return _rt_to_matrix(so3.from_quat(quat_wxyz), t)
