@@ -77,6 +77,64 @@ def _edge_residual_and_jacobians(x_i, x_j, measurement):
     return r0, jac[:, :6], jac[:, 6:]
 
 
+def build_normal_system(
+    poses: jnp.ndarray, edges: PoseGraphEdges, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Linearize all edges at ``poses`` -> (chi2, H (K,K,6,6), b (K,6)).
+
+    Pure and additive over edges — a shard of the edge set produces a
+    partial system that sums (``psum``) with other shards' into the full
+    one; this is what the distributed backend reduces over the mesh
+    (parallel/distributed.py).  Edges with zero information contribute
+    exactly nothing, so device-count padding is free.
+    """
+    x_i = poses[edges.i]
+    x_j = poses[edges.j]
+    r, j_i, j_j = jax.vmap(_edge_residual_and_jacobians)(
+        x_i, x_j, edges.measurement
+    )
+    omega = edges.information
+    # chi2 and per-edge weighted Jacobians.
+    omega_r = jnp.einsum("eab,eb->ea", omega, r)
+    chi2 = jnp.sum(r * omega_r)
+
+    # Assemble H (K,K,6,6) and b (K,6) with scatter-adds.
+    h_ii = jnp.einsum("eai,eab,ebj->eij", j_i, omega, j_i)
+    h_jj = jnp.einsum("eai,eab,ebj->eij", j_j, omega, j_j)
+    h_ij = jnp.einsum("eai,eab,ebj->eij", j_i, omega, j_j)
+    b_i = jnp.einsum("eai,ea->ei", j_i, omega_r)
+    b_j = jnp.einsum("eai,ea->ei", j_j, omega_r)
+
+    hess = jnp.zeros((k, k, 6, 6), jnp.float32)
+    hess = hess.at[edges.i, edges.i].add(h_ii)
+    hess = hess.at[edges.j, edges.j].add(h_jj)
+    hess = hess.at[edges.i, edges.j].add(h_ij)
+    hess = hess.at[edges.j, edges.i].add(jnp.swapaxes(h_ij, -1, -2))
+    rhs = jnp.zeros((k, 6), jnp.float32)
+    rhs = rhs.at[edges.i].add(-b_i)
+    rhs = rhs.at[edges.j].add(-b_j)
+    return chi2, hess, rhs
+
+
+def solve_normal_system(
+    hess: jnp.ndarray,
+    rhs: jnp.ndarray,
+    gauge: jnp.ndarray,
+    damping: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(K,K,6,6), (K,6) -> per-pose update deltas (K,6) + ok flag."""
+    k = rhs.shape[0]
+    dim = 6 * k
+    hmat = jnp.transpose(hess, (0, 2, 1, 3)).reshape(dim, dim)
+    hmat = hmat + jnp.diag(gauge.reshape(dim))
+    hmat = hmat + damping * (1.0 + jnp.trace(hmat) / dim) * jnp.eye(
+        dim, dtype=jnp.float32
+    )
+    delta = jax.scipy.linalg.solve(hmat, rhs.reshape(dim), assume_a="pos").reshape(k, 6)
+    ok = jnp.all(jnp.isfinite(delta))
+    return jnp.where(ok, delta, 0.0), ok
+
+
 @functools.partial(jax.jit, static_argnames=("max_iterations",))
 def optimize_pose_graph(
     poses: jnp.ndarray,
@@ -94,50 +152,14 @@ def optimize_pose_graph(
     dim = 6 * k
 
     def evaluate(ps):
-        x_i = ps[edges.i]
-        x_j = ps[edges.j]
-        r, j_i, j_j = jax.vmap(_edge_residual_and_jacobians)(
-            x_i, x_j, edges.measurement
-        )
-        omega = edges.information
-        # chi2 and per-edge weighted Jacobians.
-        omega_r = jnp.einsum("eab,eb->ea", omega, r)
-        chi2 = jnp.sum(r * omega_r)
-
-        # Assemble H (K,6,K,6) and b (K,6) with scatter-adds.
-        h_ii = jnp.einsum("eai,eab,ebj->eij", j_i, omega, j_i)
-        h_jj = jnp.einsum("eai,eab,ebj->eij", j_j, omega, j_j)
-        h_ij = jnp.einsum("eai,eab,ebj->eij", j_i, omega, j_j)
-        b_i = jnp.einsum("eai,ea->ei", j_i, omega_r)
-        b_j = jnp.einsum("eai,ea->ei", j_j, omega_r)
-
-        hess = jnp.zeros((k, k, 6, 6), jnp.float32)
-        hess = hess.at[edges.i, edges.i].add(h_ii)
-        hess = hess.at[edges.j, edges.j].add(h_jj)
-        hess = hess.at[edges.i, edges.j].add(h_ij)
-        hess = hess.at[edges.j, edges.i].add(jnp.swapaxes(h_ij, -1, -2))
-        rhs = jnp.zeros((k, 6), jnp.float32)
-        rhs = rhs.at[edges.i].add(-b_i)
-        rhs = rhs.at[edges.j].add(-b_j)
-        return chi2, hess, rhs
+        return build_normal_system(ps, edges, k)
 
     gauge = jnp.zeros((k, 6), jnp.float32).at[0].set(gauge_weight)
 
     def body(_, carry):
         ps, chi2_hist, it, done = carry
         chi2, hess, rhs = evaluate(ps)
-
-        hmat = jnp.transpose(hess, (0, 2, 1, 3)).reshape(dim, dim)
-        hmat = hmat + jnp.diag(gauge.reshape(dim))
-        hmat = hmat + damping * (1.0 + jnp.trace(hmat) / dim) * jnp.eye(
-            dim, dtype=jnp.float32
-        )
-        delta = jax.scipy.linalg.solve(
-            hmat, rhs.reshape(dim), assume_a="pos"
-        ).reshape(k, 6)
-        ok = jnp.all(jnp.isfinite(delta))
-        delta = jnp.where(ok, delta, 0.0)
-
+        delta, ok = solve_normal_system(hess, rhs, gauge, damping)
         new_ps = jnp.where(done | ~ok, ps, jax.vmap(se3.exp)(delta) @ ps)
         chi2_hist = chi2_hist.at[it].set(chi2)
         prev = jnp.where(it > 0, chi2_hist[jnp.maximum(it - 1, 0)], jnp.inf)
