@@ -72,7 +72,7 @@ def run(args) -> dict:
 
     poses, transforms, frame_times = [], [], []
     t_start = time.perf_counter()
-    for i, (rgb, depth) in enumerate(seq):
+    for i, (rgb, depth) in enumerate(seq.prefetched()):
         t0 = time.perf_counter()
         pose = session.step(rgb, depth)
         pose.matrix.block_until_ready()
