@@ -38,10 +38,61 @@ def parse_args(argv=None):
     parser.add_argument("-o", "--output-dir", type=str, default=None, help="output directory")
     parser.add_argument("--camera", type=str, default=None, help="camera intrinsics YAML")
     parser.add_argument("-s", "--size", type=int, default=None, help="max frames")
+    parser.add_argument("-m", "--method", type=str, default="robust-dvo",
+                        choices=["robust-dvo", "slam", "sparse"],
+                        help="tracking pipeline (default: robust-dvo, the "
+                        "reference's frame-to-frame solver)")
     parser.add_argument("--platform", type=str, default=None, choices=["cpu", "tpu", "axon"],
                         help="force a JAX platform (default: environment's)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a device trace (XPlane) into this dir")
     parser.add_argument("-v", "--verbose", action="store_true")
     return parser.parse_args(argv)
+
+
+def _make_stepper(method: str, seq, cfg):
+    """-> (step(rgb, depth) -> (4,4) np pose, finalize() -> extra dict)."""
+    import numpy as np
+
+    if method == "slam":
+        from dense_visual_odometry_tpu.models.slam import SlamSession
+
+        slam = SlamSession(seq.camera, cfg)
+
+        def step(rgb, depth):
+            return np.asarray(slam.step(rgb, depth).matrix, dtype=np.float64)
+
+        def finalize():
+            return {
+                "keyframes": slam.num_keyframes,
+                "optimized_poses": slam.optimized_trajectory(),
+            }
+
+        return step, finalize
+
+    if method == "sparse":
+        import cv2
+
+        from dense_visual_odometry_tpu.models.sparse import SparseVO
+
+        vo = SparseVO(seq.camera)
+
+        def step(rgb, depth):
+            gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32)
+            pose = vo.step(gray, depth)
+            return np.asarray(pose, dtype=np.float64)
+
+        return step, dict
+
+    from dense_visual_odometry_tpu.models.session import OdometrySession
+
+    session = OdometrySession(seq.camera, cfg)
+
+    def step(rgb, depth):
+        pose = session.step(rgb, depth)
+        return np.asarray(pose.matrix, dtype=np.float64)
+
+    return step, dict
 
 
 def run(args) -> dict:
@@ -55,7 +106,6 @@ def run(args) -> dict:
         load_tum_sequence,
         trajectory,
     )
-    from dense_visual_odometry_tpu.models.session import OdometrySession
 
     if args.benchmark == "test":
         seq = load_bundled_sequence(args.data_dir, size=args.size)
@@ -68,18 +118,21 @@ def run(args) -> dict:
     logger.info("sequence '%s': %d frames; config: %s", seq.name, len(seq), cfg)
     logger.info("jax backend: %s (%d devices)", jax.default_backend(), jax.device_count())
 
-    session = OdometrySession(seq.camera, cfg)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    step, finalize = _make_stepper(args.method, seq, cfg)
 
     poses, transforms, frame_times = [], [], []
+    prev_pose = np.eye(4)
     t_start = time.perf_counter()
     for i, (rgb, depth) in enumerate(seq.prefetched()):
         t0 = time.perf_counter()
-        pose = session.step(rgb, depth)
-        pose.matrix.block_until_ready()
+        pose = step(rgb, depth)
         dt = time.perf_counter() - t0
         frame_times.append(dt)
-        poses.append(np.asarray(pose.matrix, dtype=np.float64))
-        transforms.append(np.asarray(session.last_output.transform, dtype=np.float64))
+        poses.append(pose)
+        transforms.append(np.linalg.inv(pose) @ prev_pose)
+        prev_pose = pose
         if seq.gt_poses is not None:
             # Reference-style per-frame error logs (test_dvo.py:313-321).
             # gt poses are absolute; compare relative to the first frame.
@@ -89,17 +142,26 @@ def run(args) -> dict:
         else:
             logger.info("frame %d: %.1f ms", i, dt * 1e3)
     total_time = time.perf_counter() - t_start
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        logger.info("device trace -> %s", args.profile_dir)
 
+    extra = finalize()
     poses = np.stack(poses)
+    if "optimized_poses" in extra:
+        # SLAM backend: report the BA-refined trajectory.
+        poses = np.asarray(extra.pop("optimized_poses"))
     steady = frame_times[1:] if len(frame_times) > 1 else frame_times
     summary = {
         "frames": len(seq),
+        "method": args.method,
         "total_time_s": total_time,
         "first_frame_s": frame_times[0],
         "mean_frame_ms": float(np.mean(steady) * 1e3),
         "median_frame_ms": float(np.median(steady) * 1e3),
         "fps": float(1.0 / np.mean(steady)),
         "backend": jax.default_backend(),
+        **extra,
     }
 
     if seq.gt_poses is not None:
