@@ -7,32 +7,69 @@ Prints ONE JSON line:
 Protocol: the 9 consecutive pairs of the bundled 640x480 set (real frames,
 real convergence behaviour), tiled to a batch of B pairs, tracked by the
 batched 4-level IRLS tracker (`parallel.batched_track_pair`) — the
-BASELINE.json config-3 shape.  Steady-state timing over several iterations
-after warmup; ATE-RMSE from a full sequential session pass is attached so
-accuracy and speed are recorded together.
+BASELINE.json config-3 shape.  Steady-state timing over several
+iterations after warmup, with every iteration synchronized by a host read
+of the result (``block_until_ready`` is advisory on tunneled backends).
+ATE-RMSE from a full sequential session pass is attached so accuracy and
+speed are recorded together.
 
 Baseline: the reference (pfontana96/dense-visual-odometry) cannot run in
 this image — its CPU tier is Numba JIT and numba is not installed.
 ``benchmarks/baseline.json`` therefore records a measured stand-in
 (this framework's own single-pair sequential throughput on the host CPU
 via JAX-CPU, same algorithm/config — documented there); vs_baseline is
-measured TPU fps over that.
+measured fps over that.
+
+A watchdog guards against a wedged device/tunnel: if the run exceeds
+WATCHDOG_S, a JSON line with ``"error"`` is printed so the harness always
+records a result.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
 BASELINE_FILE = REPO / "benchmarks" / "baseline.json"
 BATCH = 32
-WARMUP = 2
-ITERS = 8
+WARMUP = 1
+ITERS = 3
+WATCHDOG_S = float(os.environ.get("DVO_BENCH_WATCHDOG_S", "1500"))
+
+
+def _baseline_fps():
+    if BASELINE_FILE.exists():
+        return json.loads(BASELINE_FILE.read_text()).get("baseline_fps")
+    return None
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _watchdog():
+    _emit(
+        {
+            "metric": "tracked_fps_640x480",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: device did not finish within {WATCHDOG_S}s",
+        }
+    )
+    os._exit(2)
 
 
 def main():
+    timer = threading.Timer(WATCHDOG_S, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
@@ -52,14 +89,12 @@ def main():
     seq = load_bundled_sequence()
 
     # Preprocess all 10 frames once (device-side pyramids).
-    frames = []
     pre = jax.jit(
         lambda img, dep: preprocess_frame(
             img, dep, seq.camera, levels=cfg.levels, max_distance=cfg.max_distance
         )
     )
-    for rgb, depth in seq:
-        frames.append(jax.tree.map(lambda x: x, pre(jnp.asarray(rgb), jnp.asarray(depth))))
+    frames = [pre(jnp.asarray(rgb), jnp.asarray(depth)) for rgb, depth in seq.prefetched()]
 
     pairs = [(frames[i], frames[i + 1]) for i in range(len(frames) - 1)]
     reps = -(-BATCH // len(pairs))
@@ -70,7 +105,9 @@ def main():
 
     def run_once():
         out = batched_track_pair(prev_b, curr_b, k, cfg)
-        out.transform.block_until_ready()
+        # Force completion with a real read: on tunneled remote backends
+        # block_until_ready can return before execution finishes.
+        np.asarray(out.transform)
         return out
 
     for _ in range(WARMUP):
@@ -90,10 +127,7 @@ def main():
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(seq.gt_poses[0]), seq.gt_poses)
     ate, _ = metrics.ate_rmse(poses, gt_rel)
 
-    baseline_fps = None
-    if BASELINE_FILE.exists():
-        baseline_fps = json.loads(BASELINE_FILE.read_text()).get("baseline_fps")
-
+    baseline_fps = _baseline_fps()
     result = {
         "metric": "tracked_fps_640x480",
         "value": round(fps, 2),
@@ -104,9 +138,10 @@ def main():
         "ate_rmse_m": round(ate, 5),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
-        "all_success": bool(jnp.all(out.success)),
+        "all_success": bool(np.asarray(out.success).all()),
     }
-    print(json.dumps(result))
+    timer.cancel()
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,17 @@ class TWeighterConfig:
     # Kerl's sigma^2 fixed point divides by N; the reference omits the 1/N
     # (t_weighter.py:38-47, SURVEY quirk #3).  True = the correct update.
     normalize_scale: bool = True
+    # Estimate the scale from every Nth pixel in each direction (the
+    # fixed-point loop re-reads the full residual image up to
+    # ``max_iterations`` times; the scale is a robust statistic over
+    # ~300k pixels, so stride-4 subsampling [16x less traffic] changes it
+    # negligibly).  1 = exact (reference behaviour); weights themselves
+    # are always computed at full resolution.
+    scale_subsample: int = 1
+
+    def __post_init__(self):
+        if self.scale_subsample < 1:
+            raise ValueError("scale_subsample must be >= 1")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,7 +52,17 @@ def t_distribution_weights(
     batch_shape = residuals_sq.shape[: residuals_sq.ndim - event_ndim] if event_ndim else ()
     expand = (Ellipsis,) + (None,) * event_ndim if event_ndim else (Ellipsis,)
 
-    count = jnp.maximum(jnp.sum(validf, axis=axes), 1.0)
+    # Scale estimation can run on a strided subset (the fixed point
+    # re-reads the residual image each iteration; the statistic barely
+    # moves under stride-s subsampling while traffic drops s^2-fold).
+    sub = cfg.scale_subsample
+    if sub > 1 and event_ndim >= 2:
+        r_est = residuals_sq[..., ::sub, ::sub]
+        v_est = validf[..., ::sub, ::sub]
+    else:
+        r_est, v_est = residuals_sq, validf
+
+    count = jnp.maximum(jnp.sum(v_est, axis=axes), 1.0)
     denom = count if cfg.normalize_scale else jnp.ones_like(count)
 
     init_lambda = jnp.full(batch_shape, 1.0 / (cfg.initial_sigma**2), jnp.float32)
@@ -65,8 +75,7 @@ def t_distribution_weights(
         lam, it, done = carry
         sigma_sq = (
             jnp.sum(
-                validf * residuals_sq * (dof + 1.0)
-                / (dof + residuals_sq * lam[expand]),
+                v_est * r_est * (dof + 1.0) / (dof + r_est * lam[expand]),
                 axis=axes,
             )
             / denom
