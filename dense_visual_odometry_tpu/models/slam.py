@@ -42,12 +42,24 @@ from dense_visual_odometry_tpu.utils.lie import Pose, se3
 
 @dataclasses.dataclass(frozen=True)
 class KeyframePolicy:
-    """When to promote a frame to keyframe."""
+    """When to promote a frame to keyframe, and how to close loops."""
 
     max_translation: float = 0.15  # meters of motion vs the keyframe
     max_rotation: float = 0.15  # radians vs the keyframe
     min_valid_ratio: float = 0.5  # valid px at finest level / at keyframe time
     window: int = 8  # BA window length (keyframes)
+    # Loop closure: when a new keyframe lands within ``loop_radius`` meters
+    # and ``loop_angle`` radians of a past keyframe at least
+    # ``loop_min_gap`` keyframes back, verify the pair with a dense
+    # alignment seeded from the current estimate; accept as a graph edge if
+    # the solve succeeds with mean photometric error <= ``loop_max_error``.
+    loop_closure: bool = True
+    loop_radius: float = 0.5
+    loop_angle: float = 0.5
+    loop_min_gap: int = 3
+    loop_max_error: float = 400.0
+    loop_max_candidates: int = 2  # dense verifications per new keyframe
+    max_stored_keyframes: int = 64  # FrameData retained for loop checks
 
 
 class SlamSession:
@@ -72,10 +84,12 @@ class SlamSession:
         self._intrinsics = jnp.asarray(camera.intrinsics, jnp.float32)
 
         self._keyframe: Optional[FrameData] = None
+        self._kf_frames: List[Optional[FrameData]] = []  # retained for loops
         self._kf_valid_count: float = 0.0
         # Keyframe graph state (host lists; poses are small).
         self.keyframe_poses: List[np.ndarray] = []  # camera-to-world, 4x4
         self.keyframe_indices: List[int] = []  # frame index of each keyframe
+        self.loop_closures: List[tuple] = []  # accepted (j, k, error)
         self._edges_i: List[int] = []
         self._edges_j: List[int] = []
         self._edges_meas: List[np.ndarray] = []
@@ -105,10 +119,54 @@ class SlamSession:
         self.keyframe_poses.append(world_pose.copy())
         self.keyframe_indices.append(self._frame_idx)
         self._keyframe = fd
+        self._kf_frames.append(fd)
+        if len(self._kf_frames) > self.policy.max_stored_keyframes:
+            # Drop the oldest retained FrameData (poses/edges are kept).
+            self._kf_frames[len(self._kf_frames) - self.policy.max_stored_keyframes - 1] = None
         self._kf_valid_count = self._valid_count(fd)
         self._rel_to_kf = np.eye(4)
-        if measured_from_prev_kf is not None and len(self.keyframe_poses) >= 3:
-            self._optimize_window()
+        if measured_from_prev_kf is not None:
+            if self.policy.loop_closure:
+                self._try_loop_closures(kf_id, fd)
+            if len(self.keyframe_poses) >= 3:
+                self._optimize_window()
+
+    def _try_loop_closures(self, kf_id: int, fd: FrameData) -> None:
+        """Dense-verify loop candidates near the new keyframe's pose and
+        add accepted relative-pose edges to the graph."""
+        pose_k = self.keyframe_poses[kf_id]
+        candidates = []
+        for j in range(0, kf_id - self.policy.loop_min_gap):
+            if j >= len(self._kf_frames) or self._kf_frames[j] is None:
+                continue
+            rel = np.linalg.inv(self.keyframe_poses[j]) @ pose_k
+            dist = float(np.linalg.norm(rel[:3, 3]))
+            ang = float(
+                np.arccos(np.clip((np.trace(rel[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
+            )
+            if dist <= self.policy.loop_radius and ang <= self.policy.loop_angle:
+                candidates.append((dist, j, rel))
+        candidates.sort(key=lambda c: c[0])
+        for _, j, rel in candidates[: self.policy.loop_max_candidates]:
+            # Dense alignment keyframe_j -> keyframe_k, seeded at the
+            # current estimate: transform maps cam_j points into cam_k, and
+            # rel = X_j^-1 X_k is the pose of k in j => transform ~= rel^-1.
+            init = jnp.asarray(np.linalg.inv(rel).astype(np.float32))
+            result = self._tracker(
+                self._kf_frames[j], fd, self._intrinsics,
+                init_guess=init, last_transform=init,
+            )
+            err = float(result.diagnostics.error[-1])
+            if bool(result.success) and err <= self.policy.loop_max_error:
+                info = np.asarray(result.hessian, dtype=np.float64)
+                if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
+                    info = np.eye(6)
+                meas = np.linalg.inv(np.asarray(result.transform, np.float64))
+                self._edges_i.append(j)
+                self._edges_j.append(kf_id)
+                self._edges_meas.append(meas)
+                self._edges_info.append(info)
+                self.loop_closures.append((j, kf_id, err))
 
     def _optimize_window(self):
         w = self.policy.window
@@ -208,6 +266,24 @@ class SlamSession:
             or rot > self.policy.max_rotation
             or ratio < self.policy.min_valid_ratio
         )
+
+    def optimize_full(self, max_iterations: int = 20) -> None:
+        """Global BA over ALL keyframes and edges (incl. loop closures
+        outside the sliding window); call once at end of sequence."""
+        if len(self.keyframe_poses) < 3 or not self._edges_i:
+            return
+        edges = posegraph.PoseGraphEdges(
+            i=jnp.asarray(self._edges_i, jnp.int32),
+            j=jnp.asarray(self._edges_j, jnp.int32),
+            measurement=jnp.asarray(np.stack(self._edges_meas), jnp.float32),
+            information=jnp.asarray(np.stack(self._edges_info), jnp.float32),
+        )
+        poses = jnp.asarray(np.stack(self.keyframe_poses), jnp.float32)
+        out = posegraph.optimize_pose_graph(poses, edges, max_iterations=max_iterations)
+        optimized = np.asarray(out.poses, dtype=np.float64)
+        if np.all(np.isfinite(optimized)):
+            for g in range(len(self.keyframe_poses)):
+                self.keyframe_poses[g] = optimized[g]
 
     def optimized_trajectory(self) -> np.ndarray:
         """(N, 4, 4) world poses for every frame, re-anchored to the

@@ -63,6 +63,43 @@ class TestSlamSession:
         assert ate < 0.02
 
 
+class TestLoopClosure:
+    def test_loops_detected_and_improve_ba(self, short_seq):
+        slam = SlamSession(
+            short_seq.camera,
+            RobustDVOConfig(levels=4, use_weighter=True),
+            KeyframePolicy(
+                max_translation=0.008, max_rotation=0.008,
+                loop_min_gap=2, window=6,
+            ),
+        )
+        for rgb, depth in short_seq:
+            slam.step(rgb, depth)
+        # The bundled sequence barely moves: plenty of verifiable loops.
+        assert len(slam.loop_closures) >= 3
+        for j, k, err in slam.loop_closures:
+            assert k - j >= 2
+            assert err <= slam.policy.loop_max_error
+
+        slam.optimize_full()
+        traj = slam.optimized_trajectory()
+        gt_rel = np.einsum(
+            "ij,njk->nik", np.linalg.inv(short_seq.gt_poses[0]), short_seq.gt_poses
+        )
+        ate, _ = metrics.ate_rmse(traj, gt_rel)
+        assert ate < 0.01
+
+    def test_loops_disabled(self, short_seq):
+        slam = SlamSession(
+            short_seq.camera,
+            RobustDVOConfig(levels=3),
+            KeyframePolicy(max_translation=0.008, loop_closure=False),
+        )
+        for rgb, depth in short_seq:
+            slam.step(rgb, depth)
+        assert slam.loop_closures == []
+
+
 class TestCheckpoint:
     def test_session_save_resume_bitexact(self, short_seq, tmp_path):
         cfg = RobustDVOConfig(levels=3, use_weighter=True)
