@@ -59,6 +59,12 @@ class RobustDVOConfig:
     # Intensities quantized to integers like the reference's uint8 gray
     # (base_dense_visual_odometry.py:58); False keeps full float precision.
     quantize_intensity: bool = False
+    # Seed each solve with the last accepted frame-to-frame transform
+    # (constant-velocity model) instead of identity.  The reference always
+    # starts from identity unless a caller passes init_guess
+    # (base_dense_visual_odometry.py:54); a warm start typically halves GN
+    # iterations on smooth trajectories.
+    constant_velocity_init: bool = False
 
     def __post_init__(self):
         if self.levels < 1:

@@ -73,6 +73,8 @@ def session_step(
         quantize=cfg.quantize_intensity,
     )
 
+    if cfg.constant_velocity_init:
+        init_guess = state.last_transform
     result = track_pair(
         state.prev, curr, camera, cfg,
         init_guess=init_guess, last_transform=state.last_transform,
