@@ -65,6 +65,16 @@ class RobustDVOConfig:
     # (base_dense_visual_odometry.py:54); a warm start typically halves GN
     # iterations on smooth trajectories.
     constant_velocity_init: bool = False
+    # TPU gather optimization: pack image/gradient taps as f16 pairs so
+    # each bilinear sample costs 2 gathers instead of 4 and gradient
+    # sampling costs 1 instead of 8 (nearest-neighbour — gradients are
+    # smooth).  Gathers dominate TPU runtime (cost per index); f16 taps
+    # are exact for 8-bit intensities.  Bit-identical OFF by default.
+    packed_sampling: bool = False
+    # Evaluate residuals on every Nth pixel of the finest level's grid
+    # (classic dense-VO decimation: 6 DoF need nowhere near 300k
+    # residuals; gather cost drops quadratically).  1 = full resolution.
+    finest_stride: int = 1
 
     def __post_init__(self):
         if self.levels < 1:
@@ -73,6 +83,8 @@ class RobustDVOConfig:
             raise ValueError("max_iterations must be >= 1")
         if self.sigma is not None and self.sigma <= 0:
             raise ValueError("sigma must be positive or None")
+        if self.finest_stride < 1:
+            raise ValueError("finest_stride must be >= 1")
 
     @classmethod
     def from_dict(cls, data: dict) -> "RobustDVOConfig":

@@ -45,11 +45,13 @@ from dense_visual_odometry_tpu.camera import CameraModel
 from dense_visual_odometry_tpu.config import RobustDVOConfig
 from dense_visual_odometry_tpu.models.weighting import t_distribution_weights
 from dense_visual_odometry_tpu.ops import gradients as grad_ops
+from dense_visual_odometry_tpu.ops import interp as interp_ops
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.ops.residuals import (
     approximate_jacobian,
     normal_equations,
     warp_residuals,
+    warp_residuals_packed,
 )
 from dense_visual_odometry_tpu.utils.lie import se3
 
@@ -138,6 +140,7 @@ def _solve_level(
     estimate0: jnp.ndarray,
     prior_anchor0: jnp.ndarray,
     cfg: RobustDVOConfig,
+    level: int = 0,
 ) -> Tuple[jnp.ndarray, LevelDiagnostics]:
     """Gauss-Newton at one pyramid level as a single ``while_loop``.
 
@@ -149,6 +152,7 @@ def _solve_level(
     transformation multiplies XLA compile time ~linearly in B).
     """
     batch_shape = estimate0.shape[:-2]
+    stride = cfg.finest_stride if level == 0 else 1
     # Estimate-independent work hoisted out of the GN loop (the reference's
     # _setup, cpu_robust_dense_visual_odometry.py:54-77).
     if cfg.approximate_image2_gradient:
@@ -163,19 +167,40 @@ def _solve_level(
         grads = (gx2 / _SOBEL_GAIN, gy2 / _SOBEL_GAIN)
         pre_jac = None
 
+    if stride > 1:
+        # Residuals on a decimated grid of the previous frame; the current
+        # image is still sampled at full resolution.
+        gray_prev = gray_prev[..., ::stride, ::stride]
+        depth_prev_m = depth_prev_m[..., ::stride, ::stride]
+        if pre_jac is not None:
+            pre_jac = pre_jac[..., ::stride, ::stride, :]
+
+    if cfg.packed_sampling:
+        gray_curr_packed = interp_ops.pack_neighbors(gray_curr)
+        grads_packed = (
+            None if grads is None else interp_ops.pack_pair_f16(grads[0], grads[1])
+        )
+
     use_prior = cfg.sigma is not None
     inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
 
     def evaluate(estimate, prior_anchor):
-        if pre_jac is not None:
+        if cfg.packed_sampling:
+            res, jac, valid = warp_residuals_packed(
+                gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
+                grads_packed=grads_packed,
+                precomputed_jacobian=pre_jac,
+                grid_stride=stride,
+            )
+        elif pre_jac is not None:
             res, jac, valid = warp_residuals(
                 gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
-                precomputed_jacobian=pre_jac,
+                precomputed_jacobian=pre_jac, grid_stride=stride,
             )
         else:
             res, jac, valid = warp_residuals(
                 gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
-                grads[0], grads[1],
+                grads[0], grads[1], grid_stride=stride,
             )
         if cfg.use_weighter:
             weights = t_distribution_weights(
@@ -298,6 +323,7 @@ def track_pair(
             estimate,
             anchor,
             cfg,
+            level=level,
         )
         diags.append(diag)
 

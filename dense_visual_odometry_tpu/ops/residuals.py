@@ -46,12 +46,19 @@ class ResidualSystem(NamedTuple):
     count: jnp.ndarray  # (...,): number of valid pixels (f32)
 
 
-def deproject_grid(depth_m: jnp.ndarray, intrinsics: jnp.ndarray) -> jnp.ndarray:
-    """Dense camera-frame points from metric depth: (..., H, W) -> (..., H, W, 3)."""
+def deproject_grid(
+    depth_m: jnp.ndarray, intrinsics: jnp.ndarray, grid_stride: int = 1
+) -> jnp.ndarray:
+    """Dense camera-frame points from metric depth: (..., H, W) -> (..., H, W, 3).
+
+    ``grid_stride`` declares that ``depth_m`` is a stride-s subsampling of
+    the full-resolution grid: pixel (i, j) sits at full-res coordinates
+    (s*j, s*i) and the intrinsics refer to the full-res grid.
+    """
     h, w = depth_m.shape[-2], depth_m.shape[-1]
     k_inv = jnp.linalg.inv(intrinsics)
-    u = jnp.arange(w, dtype=jnp.float32)
-    v = jnp.arange(h, dtype=jnp.float32)
+    u = jnp.arange(w, dtype=jnp.float32) * grid_stride
+    v = jnp.arange(h, dtype=jnp.float32) * grid_stride
 
     def coef(i, j):
         return k_inv[..., i, j][..., None, None]
@@ -101,33 +108,13 @@ def warp_jacobian_times_grad(
     return jnp.where(valid[..., None], jac, 0.0)
 
 
-def warp_residuals(
-    gray_prev: jnp.ndarray,
-    depth_prev_m: jnp.ndarray,
-    gray_curr: jnp.ndarray,
-    intrinsics: jnp.ndarray,
-    transform: jnp.ndarray,
-    grad_x_curr: Optional[jnp.ndarray] = None,
-    grad_y_curr: Optional[jnp.ndarray] = None,
-    precomputed_jacobian: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense photometric residuals + Jacobian for one pyramid level.
+def _warp_geometry(depth_prev_m, intrinsics, transform, grid_stride=1):
+    """Shared geometry: deproject -> transform -> project.
 
-    All image arguments (..., H, W); ``intrinsics`` (..., 3, 3);
-    ``transform`` (..., 4, 4).  Exactly one of (grad_x_curr/grad_y_curr)
-    or ``precomputed_jacobian`` must be given:
-
-    - gradients of the *current* image -> exact mode: sample grad I2 at the
-      warped coordinates, J_w at the transformed points (reference
-      ``approximate_image2_gradient=False`` path, done right).
-    - ``precomputed_jacobian`` (..., H, W, 6) -> approximate/inverse-
-      compositional mode: constant J from the previous frame's gradients
-      (reference ``_setup`` precompute, cpu_…py:60-77).
-
-    Returns (residuals (..., H, W), jacobian (..., H, W, 6), valid bool),
-    with residuals/jacobian zeroed outside ``valid``.
+    -> (pts_t (..., H, W, 3), u, v, valid_geom) where u/v are full-res
+    subpixel sample coordinates in the current image.
     """
-    points = deproject_grid(depth_prev_m, intrinsics)
+    points = deproject_grid(depth_prev_m, intrinsics, grid_stride)
     depth_valid = depth_prev_m > 0.0
 
     rot = transform[..., :3, :3]
@@ -144,9 +131,46 @@ def warp_residuals(
     # Full projection including skew/principal point.
     u = (k(0, 0) * pts_t[..., 0] + k(0, 1) * pts_t[..., 1] + k(0, 2) * zc) / z_safe
     v = (k(1, 1) * pts_t[..., 1] + k(1, 2) * zc) / z_safe
+    return pts_t, u, v, depth_valid & in_front
 
+
+def warp_residuals(
+    gray_prev: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    gray_curr: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    transform: jnp.ndarray,
+    grad_x_curr: Optional[jnp.ndarray] = None,
+    grad_y_curr: Optional[jnp.ndarray] = None,
+    precomputed_jacobian: Optional[jnp.ndarray] = None,
+    grid_stride: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Dense photometric residuals + Jacobian for one pyramid level.
+
+    All image arguments (..., H, W); ``intrinsics`` (..., 3, 3);
+    ``transform`` (..., 4, 4).  Exactly one of (grad_x_curr/grad_y_curr)
+    or ``precomputed_jacobian`` must be given:
+
+    - gradients of the *current* image -> exact mode: sample grad I2 at the
+      warped coordinates, J_w at the transformed points (reference
+      ``approximate_image2_gradient=False`` path, done right).
+    - ``precomputed_jacobian`` (..., H, W, 6) -> approximate/inverse-
+      compositional mode: constant J from the previous frame's gradients
+      (reference ``_setup`` precompute, cpu_…py:60-77).
+
+    ``grid_stride`` > 1 evaluates residuals on a stride-s subsampling of
+    the previous frame's pixel grid (gray_prev/depth_prev_m and the
+    precomputed Jacobian already subsampled by the caller); the current
+    image is always sampled at full resolution.
+
+    Returns (residuals (..., H, W), jacobian (..., H, W, 6), valid bool),
+    with residuals/jacobian zeroed outside ``valid``.
+    """
+    pts_t, u, v, valid_geom = _warp_geometry(
+        depth_prev_m, intrinsics, transform, grid_stride
+    )
     warped_intensity, warp_ok = bilinear_sample(gray_curr, u, v)
-    valid = depth_valid & in_front & warp_ok
+    valid = valid_geom & warp_ok
 
     residuals = jnp.where(valid, warped_intensity - gray_prev, 0.0)
 
@@ -155,6 +179,52 @@ def warp_residuals(
     else:
         gx, _ = bilinear_sample(grad_x_curr, u, v)
         gy, _ = bilinear_sample(grad_y_curr, u, v)
+        jacobian = warp_jacobian_times_grad(
+            pts_t, gx, gy, intrinsics[..., 0, 0], intrinsics[..., 1, 1], valid
+        )
+
+    return residuals, jacobian, valid
+
+
+def warp_residuals_packed(
+    gray_prev: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    gray_curr_packed: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    transform: jnp.ndarray,
+    grads_packed: Optional[jnp.ndarray] = None,
+    precomputed_jacobian: Optional[jnp.ndarray] = None,
+    grid_stride: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather-optimized variant of :func:`warp_residuals` for TPU.
+
+    XLA TPU gathers cost per *index* (~8 ns each, element width free), so
+    this path packs two f16 values per int32 element to halve the gather
+    count: ``gray_curr_packed`` = horizontal-neighbor pairs
+    (``interp.pack_neighbors``) sampled bilinearly with 2 gathers (vs 4);
+    ``grads_packed`` = (gx, gy) pairs (``interp.pack_pair_f16``) sampled
+    nearest-neighbour with 1 gather (vs 8 for two bilinears — image
+    gradients are smooth, so NN sampling perturbs J negligibly; the
+    reference GPU kernel likewise approximates gradient sampling,
+    residuals_kernel.py:81-83).  f16 taps are exact for 8-bit intensities.
+    """
+    from dense_visual_odometry_tpu.ops.interp import (
+        bilinear_sample_packed,
+        nearest_sample_packed,
+    )
+
+    pts_t, u, v, valid_geom = _warp_geometry(
+        depth_prev_m, intrinsics, transform, grid_stride
+    )
+    warped_intensity, warp_ok = bilinear_sample_packed(gray_curr_packed, u, v)
+    valid = valid_geom & warp_ok
+
+    residuals = jnp.where(valid, warped_intensity - gray_prev, 0.0)
+
+    if precomputed_jacobian is not None:
+        jacobian = jnp.where(valid[..., None], precomputed_jacobian, 0.0)
+    else:
+        gx, gy, _ = nearest_sample_packed(grads_packed, u, v)
         jacobian = warp_jacobian_times_grad(
             pts_t, gx, gy, intrinsics[..., 0, 0], intrinsics[..., 1, 1], valid
         )
