@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +75,14 @@ class RobustDVOConfig:
     # (classic dense-VO decimation: 6 DoF need nowhere near 300k
     # residuals; gather cost drops quadratically).  1 = full resolution.
     finest_stride: int = 1
+    # Per-level grid strides, indexed by pyramid level (0 = finest);
+    # overrides finest_stride when set.  Must have length == levels.
+    grid_strides: Optional[Tuple[int, ...]] = None
+
+    def stride_for_level(self, level: int) -> int:
+        if self.grid_strides is not None:
+            return self.grid_strides[level]
+        return self.finest_stride if level == 0 else 1
 
     def __post_init__(self):
         if self.levels < 1:
@@ -85,6 +93,11 @@ class RobustDVOConfig:
             raise ValueError("sigma must be positive or None")
         if self.finest_stride < 1:
             raise ValueError("finest_stride must be >= 1")
+        if self.grid_strides is not None:
+            # JSON gives a list; coerce so the config stays hashable.
+            object.__setattr__(self, "grid_strides", tuple(self.grid_strides))
+            if len(self.grid_strides) != self.levels:
+                raise ValueError("grid_strides length must equal levels")
 
     @classmethod
     def from_dict(cls, data: dict) -> "RobustDVOConfig":

@@ -152,7 +152,7 @@ def _solve_level(
     transformation multiplies XLA compile time ~linearly in B).
     """
     batch_shape = estimate0.shape[:-2]
-    stride = cfg.finest_stride if level == 0 else 1
+    stride = cfg.stride_for_level(level)
     # Estimate-independent work hoisted out of the GN loop (the reference's
     # _setup, cpu_robust_dense_visual_odometry.py:54-77).
     if cfg.approximate_image2_gradient:
