@@ -43,7 +43,9 @@ import jax.numpy as jnp
 
 from dense_visual_odometry_tpu.camera import CameraModel
 from dense_visual_odometry_tpu.config import RobustDVOConfig
-from dense_visual_odometry_tpu.models.weighting import t_distribution_weights
+from dense_visual_odometry_tpu.models.weighting import (
+    t_distribution_weights_with_scale,
+)
 from dense_visual_odometry_tpu.ops import gradients as grad_ops
 from dense_visual_odometry_tpu.ops import interp as interp_ops
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
@@ -127,6 +129,7 @@ class _GNCarry(NamedTuple):
     err_last: jnp.ndarray  # f32 error of the last evaluation (diagnostics)
     count_last: jnp.ndarray  # f32 valid pixels at last evaluation
     hess_last: jnp.ndarray  # (6, 6) photometric J^T W J at last evaluation
+    weight_lambda: jnp.ndarray  # (...) warm-started IRLS 1/sigma^2
     inc_count: jnp.ndarray  # i32 consecutive error increases
     it: jnp.ndarray  # i32 iterations executed
     done: jnp.ndarray  # bool
@@ -184,7 +187,7 @@ def _solve_level(
     use_prior = cfg.sigma is not None
     inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
 
-    def evaluate(estimate, prior_anchor):
+    def evaluate(estimate, prior_anchor, weight_lambda):
         if cfg.packed_sampling:
             res, jac, valid = warp_residuals_packed(
                 gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
@@ -203,8 +206,9 @@ def _solve_level(
                 grads[0], grads[1], grid_stride=stride,
             )
         if cfg.use_weighter:
-            weights = t_distribution_weights(
-                res * res, valid, cfg.weighter, event_ndim=2
+            weights, weight_lambda = t_distribution_weights_with_scale(
+                res * res, valid, cfg.weighter, event_ndim=2,
+                init_lambda=weight_lambda,
             )
         else:
             weights = valid.astype(jnp.float32)
@@ -217,13 +221,15 @@ def _solve_level(
             hess = hess + inv_cov * jnp.eye(6, dtype=jnp.float32)
             rhs = rhs + inv_cov * log_old
             err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
-        return hess, rhs, err, sys.count, photometric_hess
+        return hess, rhs, err, sys.count, photometric_hess, weight_lambda
 
     def cond(c: _GNCarry):
         return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
 
     def body(c: _GNCarry) -> _GNCarry:
-        hess, rhs, err, count, photo_hess = evaluate(c.estimate, c.prior_anchor)
+        hess, rhs, err, count, photo_hess, lam = evaluate(
+            c.estimate, c.prior_anchor, c.weight_lambda
+        )
 
         # 6x6 solve with tiny Tikhonov damping for rank-deficient H (the
         # reference used lstsq/gelsy for the same robustness).
@@ -263,6 +269,7 @@ def _solve_level(
             err_last=jnp.where(active, err, c.err_last),
             count_last=jnp.where(active, count, c.count_last),
             hess_last=jnp.where(active[..., None, None], photo_hess, c.hess_last),
+            weight_lambda=lam,
             inc_count=inc_count,
             it=c.it + 1,
             done=done,
@@ -276,6 +283,9 @@ def _solve_level(
         err_last=jnp.full(batch_shape, fmax, jnp.float32),
         count_last=jnp.zeros(batch_shape, jnp.float32),
         hess_last=jnp.zeros(batch_shape + (6, 6), jnp.float32),
+        weight_lambda=jnp.full(
+            batch_shape, 1.0 / (cfg.weighter.initial_sigma**2), jnp.float32
+        ),
         inc_count=jnp.zeros(batch_shape, jnp.int32),
         it=jnp.int32(0),
         done=jnp.zeros(batch_shape, bool),

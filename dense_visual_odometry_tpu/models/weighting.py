@@ -10,7 +10,7 @@ becomes a fully on-device scan with masked reductions.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,22 @@ def t_distribution_weights(
     valid: jnp.ndarray,
     cfg: TWeighterConfig,
     event_ndim: int = 0,
+    init_lambda: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """See :func:`t_distribution_weights_with_scale`; returns weights only."""
+    weights, _ = t_distribution_weights_with_scale(
+        residuals_sq, valid, cfg, event_ndim, init_lambda
+    )
+    return weights
+
+
+def t_distribution_weights_with_scale(
+    residuals_sq: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: TWeighterConfig,
+    event_ndim: int = 0,
+    init_lambda: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel t-distribution IRLS weights.
 
     Parameters
@@ -36,6 +51,10 @@ def t_distribution_weights(
     event_ndim : number of trailing axes forming one sample's pixels; a
         separate scale is estimated per leading batch element.  0 = the
         whole array is one sample.
+    init_lambda : optional warm start for the 1/sigma^2 fixed point (e.g.
+        the converged value from the previous GN iteration — residuals
+        change little between iterations, so the loop then converges in
+        1-3 steps instead of ~10).  Also returned so callers can carry it.
 
     The sigma^2 fixed point runs as one ``while_loop`` over a batched
     lambda vector: each batch element freezes once converged, the loop
@@ -65,7 +84,12 @@ def t_distribution_weights(
     count = jnp.maximum(jnp.sum(v_est, axis=axes), 1.0)
     denom = count if cfg.normalize_scale else jnp.ones_like(count)
 
-    init_lambda = jnp.full(batch_shape, 1.0 / (cfg.initial_sigma**2), jnp.float32)
+    if init_lambda is None:
+        init_lambda = jnp.full(
+            batch_shape, 1.0 / (cfg.initial_sigma**2), jnp.float32
+        )
+    else:
+        init_lambda = jnp.broadcast_to(init_lambda, batch_shape)
 
     def cond(carry):
         _, it, done = carry
@@ -90,7 +114,8 @@ def t_distribution_weights(
         body,
         (init_lambda, jnp.int32(0), jnp.zeros(batch_shape, bool)),
     )
-    return validf * (dof + 1.0) / (dof + residuals_sq * lam[expand])
+    weights = validf * (dof + 1.0) / (dof + residuals_sq * lam[expand])
+    return weights, lam
 
 
 def huber_weights(
