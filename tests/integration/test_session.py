@@ -51,6 +51,30 @@ class TestBundledSequence:
         ate, _ = metrics.ate_rmse(poses, gt_rel)
         assert ate < 0.02, f"ATE-RMSE too high: {ate}"
 
+    def test_deterministic_across_runs(self, test_data_dir):
+        """SURVEY §5 race-detection replacement: the functional design
+        must be bitwise deterministic — the reference's fastmath parallel
+        reductions were not."""
+        seq = load_bundled_sequence(test_data_dir, size=4)
+        cfg = RobustDVOConfig(levels=3, use_weighter=True)
+
+        def run():
+            session = OdometrySession(seq.camera, cfg)
+            return np.stack(
+                [np.asarray(session.step(r, d).matrix) for r, d in seq]
+            )
+
+        np.testing.assert_array_equal(run(), run())
+
+    def test_config_files_load(self):
+        from pathlib import Path
+
+        for name in ("reference_default.json", "tpu_fast.json"):
+            cfg = RobustDVOConfig.from_json(
+                Path(__file__).resolve().parents[2] / "configs" / name
+            )
+            assert cfg.levels == 4
+
     def test_tracking_failure_keeps_state(self, test_data_dir):
         """An all-zero-depth frame must not corrupt pose or previous frame."""
         seq = load_bundled_sequence(test_data_dir, size=3)
