@@ -46,6 +46,11 @@ def parse_args(argv=None):
                         help="force a JAX platform (default: environment's)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a device trace (XPlane) into this dir")
+    parser.add_argument("--pyr-down", action="store_true",
+                        help="track at half resolution (median-blur + "
+                        "decimate, intrinsics rescaled; the reference's "
+                        "pyr_down option, which crashed there — "
+                        "SURVEY quirk #6)")
     parser.add_argument("-v", "--verbose", action="store_true")
     return parser.parse_args(argv)
 
@@ -111,6 +116,11 @@ def run(args) -> dict:
         seq = load_bundled_sequence(args.data_dir, size=args.size)
     else:
         seq = load_tum_sequence(args.data_dir, camera_yaml=args.camera, size=args.size)
+
+    if args.pyr_down:
+        from dense_visual_odometry_tpu.io.datasets import pyr_down_sequence
+
+        seq = pyr_down_sequence(seq)
 
     cfg = RobustDVOConfig.from_json(args.config) if args.config else RobustDVOConfig(
         levels=4, use_weighter=True

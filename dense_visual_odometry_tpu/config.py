@@ -78,6 +78,15 @@ class RobustDVOConfig:
     # Per-level grid strides, indexed by pyramid level (0 = finest);
     # overrides finest_stride when set.  Must have length == levels.
     grid_strides: Optional[Tuple[int, ...]] = None
+    # Gather-free warping at the finest level(s): bilinear sampling via a
+    # shift stack of radius r (cost (2r+1)^2 vector passes instead of
+    # 2*H*W gather indices).  Valid only while the warp displacement at
+    # that level stays within r full-res pixels — pixels outside are
+    # masked invalid, so large motions gracefully fall back to the coarse
+    # levels' solution.  None disables.  Applied at levels listed in
+    # ``shift_stack_levels``.
+    shift_stack_radius: Optional[int] = None
+    shift_stack_levels: Tuple[int, ...] = (0,)
 
     def stride_for_level(self, level: int) -> int:
         if self.grid_strides is not None:
@@ -98,6 +107,9 @@ class RobustDVOConfig:
             object.__setattr__(self, "grid_strides", tuple(self.grid_strides))
             if len(self.grid_strides) != self.levels:
                 raise ValueError("grid_strides length must equal levels")
+        object.__setattr__(
+            self, "shift_stack_levels", tuple(self.shift_stack_levels)
+        )
 
     @classmethod
     def from_dict(cls, data: dict) -> "RobustDVOConfig":

@@ -125,6 +125,46 @@ class RGBDSequence:
         )
 
 
+class _PyrDownView(RGBDSequence):
+    """Half-resolution view of a sequence (median blur + decimate, like
+    the reference's ``pyrDownMedianSmooth``; intrinsics rescaled with the
+    level-1 pixel-center convention — the reference's ``pyr_down`` path
+    called ``camera_model.at(-1)`` and crashed, SURVEY quirk #6)."""
+
+    def frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        import cv2
+
+        rgb, depth = super().frame(i)
+        rgb = cv2.medianBlur(rgb, 3)[::2, ::2]
+        depth = cv2.medianBlur(depth, 3)[::2, ::2]
+        return rgb, depth
+
+    def prefetched(self, prefetch: int = 4, workers: int = 2):
+        import cv2
+
+        for rgb, depth in super().prefetched(prefetch, workers):
+            yield cv2.medianBlur(rgb, 3)[::2, ::2], cv2.medianBlur(depth, 3)[::2, ::2]
+
+
+def pyr_down_sequence(seq: RGBDSequence) -> RGBDSequence:
+    """Half-resolution view of ``seq`` with correctly rescaled intrinsics."""
+    import jax.numpy as jnp
+
+    half_k = CameraModel(
+        intrinsics=jnp.asarray(np.asarray(seq.camera.at(1)), jnp.float32),
+        depth_scale=seq.camera.depth_scale,
+    )
+    return _PyrDownView(
+        name=seq.name + "-half",
+        camera=half_k,
+        rgb_paths=seq.rgb_paths,
+        depth_paths=seq.depth_paths,
+        timestamps=seq.timestamps,
+        gt_poses=seq.gt_poses,
+        extra={**seq.extra, "pyr_down": True},
+    )
+
+
 def load_bundled_sequence(
     data_dir=None, size: Optional[int] = None
 ) -> RGBDSequence:

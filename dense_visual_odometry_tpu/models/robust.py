@@ -54,6 +54,7 @@ from dense_visual_odometry_tpu.ops.residuals import (
     normal_equations,
     warp_residuals,
     warp_residuals_packed,
+    warp_residuals_shift,
 )
 from dense_visual_odometry_tpu.utils.lie import se3
 
@@ -178,7 +179,10 @@ def _solve_level(
         if pre_jac is not None:
             pre_jac = pre_jac[..., ::stride, ::stride, :]
 
-    if cfg.packed_sampling:
+    use_shift_stack = (
+        cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
+    )
+    if cfg.packed_sampling or use_shift_stack:
         gray_curr_packed = interp_ops.pack_neighbors(gray_curr)
         grads_packed = (
             None if grads is None else interp_ops.pack_pair_f16(grads[0], grads[1])
@@ -188,7 +192,15 @@ def _solve_level(
     inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
 
     def evaluate(estimate, prior_anchor, weight_lambda):
-        if cfg.packed_sampling:
+        if use_shift_stack:
+            res, jac, valid = warp_residuals_shift(
+                gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
+                grads_packed=grads_packed,
+                precomputed_jacobian=pre_jac,
+                grid_stride=stride,
+                radius=cfg.shift_stack_radius,
+            )
+        elif cfg.packed_sampling:
             res, jac, valid = warp_residuals_packed(
                 gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
                 grads_packed=grads_packed,

@@ -232,6 +232,48 @@ def warp_residuals_packed(
     return residuals, jacobian, valid
 
 
+def warp_residuals_shift(
+    gray_prev: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    gray_curr: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    transform: jnp.ndarray,
+    grads_packed: Optional[jnp.ndarray] = None,
+    precomputed_jacobian: Optional[jnp.ndarray] = None,
+    grid_stride: int = 1,
+    radius: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather-free variant: the current image is sampled by a shift stack
+    (``ops.shiftwarp``) — zero gather indices, valid while the warp
+    displacement stays within ``radius`` full-res pixels.  Gradients (when
+    not using a precomputed Jacobian) come from the packed plane with one
+    nearest-neighbour gather.
+    """
+    from dense_visual_odometry_tpu.ops.interp import nearest_sample_packed
+    from dense_visual_odometry_tpu.ops.shiftwarp import shift_stack_sample
+
+    pts_t, u, v, valid_geom = _warp_geometry(
+        depth_prev_m, intrinsics, transform, grid_stride
+    )
+    warped_intensity, warp_ok = shift_stack_sample(
+        gray_curr, u, v, radius=radius, grid_stride=grid_stride,
+        coord_mask=valid_geom,
+    )
+    valid = valid_geom & warp_ok
+
+    residuals = jnp.where(valid, warped_intensity - gray_prev, 0.0)
+
+    if precomputed_jacobian is not None:
+        jacobian = jnp.where(valid[..., None], precomputed_jacobian, 0.0)
+    else:
+        gx, gy, _ = nearest_sample_packed(grads_packed, u, v)
+        jacobian = warp_jacobian_times_grad(
+            pts_t, gx, gy, intrinsics[..., 0, 0], intrinsics[..., 1, 1], valid
+        )
+
+    return residuals, jacobian, valid
+
+
 def approximate_jacobian(
     gray_prev: jnp.ndarray,
     depth_prev_m: jnp.ndarray,
