@@ -95,6 +95,7 @@ def main():
         packed_sampling=True, grid_strides=(2, 2, 1, 1),
         weighter=TWeighterConfig(scale_subsample=4),
         shift_stack_radius=4, shift_stack_levels=(0, 1, 2),
+        approximate_image2_gradient=True,
     )
     seq = load_bundled_sequence()
 
