@@ -87,6 +87,17 @@ class RobustDVOConfig:
     # ``shift_stack_levels``.
     shift_stack_radius: Optional[int] = None
     shift_stack_levels: Tuple[int, ...] = (0,)
+    # Beyond-reference: add geometric (depth) residuals to the photometric
+    # objective: cost = sum w r_I^2 + depth_weight * sum huber(r_z)^2 with
+    # r_z in meters.  Makes motion observable in low-texture scenes; the
+    # default weight is tuned so well-textured sequences keep photometric
+    # accuracy (benchmarks/RESULTS.md).
+    use_depth_residuals: bool = False
+    depth_weight: float = 1.0e4
+    # Huber threshold (meters) for the depth residuals — depth maps have
+    # gross outliers at discontinuities/occlusions that would otherwise
+    # dominate the quadratic depth cost.
+    depth_huber_delta: float = 0.03
 
     def stride_for_level(self, level: int) -> int:
         if self.grid_strides is not None:

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from dense_visual_odometry_tpu.camera import CameraModel
 from dense_visual_odometry_tpu.config import RobustDVOConfig
 from dense_visual_odometry_tpu.models.weighting import (
+    huber_weights,
     t_distribution_weights_with_scale,
 )
 from dense_visual_odometry_tpu.ops import gradients as grad_ops
@@ -51,6 +52,7 @@ from dense_visual_odometry_tpu.ops import interp as interp_ops
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.ops.residuals import (
     approximate_jacobian,
+    depth_residuals,
     normal_equations,
     warp_residuals,
     warp_residuals_packed,
@@ -145,6 +147,7 @@ def _solve_level(
     prior_anchor0: jnp.ndarray,
     cfg: RobustDVOConfig,
     level: int = 0,
+    depth_curr_m: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, LevelDiagnostics]:
     """Gauss-Newton at one pyramid level as a single ``while_loop``.
 
@@ -171,6 +174,10 @@ def _solve_level(
         grads = (gx2 / _SOBEL_GAIN, gy2 / _SOBEL_GAIN)
         pre_jac = None
 
+    if cfg.use_depth_residuals:
+        gzx, gzy = grad_ops.sobel(depth_prev_m)
+        grads_z = (gzx / _SOBEL_GAIN, gzy / _SOBEL_GAIN)
+
     if stride > 1:
         # Residuals on a decimated grid of the previous frame; the current
         # image is still sampled at full resolution.
@@ -178,6 +185,13 @@ def _solve_level(
         depth_prev_m = depth_prev_m[..., ::stride, ::stride]
         if pre_jac is not None:
             pre_jac = pre_jac[..., ::stride, ::stride, :]
+        if cfg.use_depth_residuals:
+            # Gradients are d(depth)/d(full-res pixel) sampled at the
+            # strided grid points — no rescaling needed.
+            grads_z = (
+                grads_z[0][..., ::stride, ::stride],
+                grads_z[1][..., ::stride, ::stride],
+            )
 
     use_shift_stack = (
         cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
@@ -227,6 +241,19 @@ def _solve_level(
         sys = normal_equations(res, jac, weights, valid)
 
         hess, rhs, err = sys.hessian, sys.rhs, sys.error
+        if cfg.use_depth_residuals:
+            res_z, jac_z, valid_z = depth_residuals(
+                depth_prev_m, depth_curr_m, intrinsics, estimate,
+                grads_z[0], grads_z[1], grid_stride=stride,
+            )
+            w_z = huber_weights(
+                res_z * res_z, valid_z, delta=cfg.depth_huber_delta
+            )
+            sys_z = normal_equations(res_z, jac_z, w_z, valid_z)
+            lam_z = jnp.float32(cfg.depth_weight)
+            hess = hess + lam_z * sys_z.hessian
+            rhs = rhs + lam_z * sys_z.rhs
+            err = err + lam_z * sys_z.error
         photometric_hess = hess  # without the prior: the measurement information
         if use_prior:
             log_old = se3.log(prior_anchor)
@@ -346,6 +373,7 @@ def track_pair(
             anchor,
             cfg,
             level=level,
+            depth_curr_m=curr.depth_m[level],
         )
         diags.append(diag)
 

@@ -295,6 +295,56 @@ def approximate_jacobian(
     )
 
 
+def depth_residuals(
+    depth_prev_m: jnp.ndarray,
+    depth_curr_m: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    transform: jnp.ndarray,
+    grad_zx_prev: jnp.ndarray,
+    grad_zy_prev: jnp.ndarray,
+    grid_stride: int = 1,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Geometric residuals: measured vs predicted depth at the warp.
+
+    Beyond-reference capability (the reference is photometric-only;
+    north-star "photometric/depth alignment"): for each valid pixel,
+
+        r_z(p) = Z2(w(p)) - [T X(p)]_z        (meters)
+
+    with the analytic Jacobian  d r_z / d xi = grad Z . J_w - J_z  where
+    ``J_z = [0, 0, 1, y', -x', 0]`` (z-row of d(TX)/d xi at X' = TX) and
+    the warped depth-map gradient is approximated by the previous frame's
+    (precomputed, estimate-independent — same approximation as the
+    inverse-compositional photometric path).
+
+    Returns (residuals (..., H, W) meters, jacobian (..., H, W, 6),
+    valid); rows with invalid depth in either frame are zeroed.
+    """
+    pts_t, u, v, valid_geom = _warp_geometry(
+        depth_prev_m, intrinsics, transform, grid_stride
+    )
+    z_meas, warp_ok = bilinear_sample(depth_curr_m, u, v)
+    # Zero depth marks invalid pixels in the current frame too.
+    valid = valid_geom & warp_ok & (z_meas > 0.0)
+
+    z_pred = pts_t[..., 2]
+    residuals = jnp.where(valid, z_meas - z_pred, 0.0)
+
+    # grad Z . J_w part (sampled-at-warp approximated by previous frame).
+    jac_img = warp_jacobian_times_grad(
+        pts_t, grad_zx_prev, grad_zy_prev,
+        intrinsics[..., 0, 0], intrinsics[..., 1, 1], valid,
+    )
+    # minus d z_pred / d xi = -[0, 0, 1, y', -x', 0].
+    zeros = jnp.zeros_like(z_pred)
+    ones = jnp.ones_like(z_pred)
+    j_z = jnp.stack(
+        [zeros, zeros, ones, pts_t[..., 1], -pts_t[..., 0], zeros], axis=-1
+    )
+    jacobian = jnp.where(valid[..., None], jac_img - j_z, 0.0)
+    return residuals, jacobian, valid
+
+
 def normal_equations(
     residuals: jnp.ndarray,
     jacobian: jnp.ndarray,
