@@ -118,6 +118,8 @@ class RobustDVOConfig:
             object.__setattr__(self, "grid_strides", tuple(self.grid_strides))
             if len(self.grid_strides) != self.levels:
                 raise ValueError("grid_strides length must equal levels")
+            if any(s < 1 for s in self.grid_strides):
+                raise ValueError("grid_strides entries must be >= 1")
         object.__setattr__(
             self, "shift_stack_levels", tuple(self.shift_stack_levels)
         )

@@ -196,8 +196,10 @@ def _solve_level(
     use_shift_stack = (
         cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
     )
-    if cfg.packed_sampling or use_shift_stack:
+    if cfg.packed_sampling:
         gray_curr_packed = interp_ops.pack_neighbors(gray_curr)
+    if cfg.packed_sampling or use_shift_stack:
+        # Both fast paths sample gradients from the packed (gx, gy) plane.
         grads_packed = (
             None if grads is None else interp_ops.pack_pair_f16(grads[0], grads[1])
         )

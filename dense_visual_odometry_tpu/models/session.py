@@ -73,8 +73,6 @@ def session_step(
         quantize=cfg.quantize_intensity,
     )
 
-    if cfg.constant_velocity_init:
-        init_guess = state.last_transform
     result = track_pair(
         state.prev, curr, camera, cfg,
         init_guess=init_guess, last_transform=state.last_transform,
@@ -173,11 +171,13 @@ class OdometrySession:
         if self._state is None:
             h, w = depth.shape[-2], depth.shape[-1]
             self._state = init_state(h, w, self.config.levels, self._init_pose)
-        guess = (
-            jnp.eye(4, dtype=jnp.float32)
-            if init_guess is None
-            else jnp.asarray(init_guess, jnp.float32)
-        )
+        if init_guess is not None:
+            # An explicit caller guess (e.g. IMU prediction) always wins.
+            guess = jnp.asarray(init_guess, jnp.float32)
+        elif self.config.constant_velocity_init:
+            guess = self._state.last_transform
+        else:
+            guess = jnp.eye(4, dtype=jnp.float32)
         self._state, out = session_step(
             self._state, image, depth, self._intrinsics, self._depth_scale,
             guess, self.config,

@@ -136,7 +136,7 @@ class SlamSession:
         add accepted relative-pose edges to the graph."""
         pose_k = self.keyframe_poses[kf_id]
         candidates = []
-        for j in range(0, kf_id - self.policy.loop_min_gap):
+        for j in range(0, kf_id - self.policy.loop_min_gap + 1):
             if j >= len(self._kf_frames) or self._kf_frames[j] is None:
                 continue
             rel = np.linalg.inv(self.keyframe_poses[j]) @ pose_k
@@ -169,9 +169,15 @@ class SlamSession:
                 self.loop_closures.append((j, kf_id, err))
 
     def _optimize_window(self):
+        """Windowed BA with STATIC shapes: poses padded to the window
+        length (identity-information padding), edges padded to a fixed
+        capacity with zero-information self-edges — every promotion after
+        warm-up reuses one compiled program instead of recompiling for
+        each (K, E) combination (fixed-shapes design rule)."""
         w = self.policy.window
         k_total = len(self.keyframe_poses)
         start = max(0, k_total - w)
+        k_window = k_total - start
         idx = {g: l for l, g in enumerate(range(start, k_total))}
         sel = [
             e
@@ -180,20 +186,36 @@ class SlamSession:
         ]
         if not sel:
             return
+        # Edge capacity: chain edges + loop closures bounded by
+        # loop_max_candidates per keyframe.
+        edge_cap = w * (1 + self.policy.loop_max_candidates)
+        sel = sel[-edge_cap:]
+        e_used = len(sel)
+        eye4 = np.eye(4)
+        meas = np.stack(
+            [self._edges_meas[e] for e in sel]
+            + [eye4] * (edge_cap - e_used)
+        )
+        info = np.zeros((edge_cap, 6, 6))
+        for l, e in enumerate(sel):
+            info[l] = self._edges_info[e]
+        i_idx = np.zeros((edge_cap,), np.int32)
+        j_idx = np.zeros((edge_cap,), np.int32)
+        i_idx[:e_used] = [idx[self._edges_i[e]] for e in sel]
+        j_idx[:e_used] = [idx[self._edges_j[e]] for e in sel]
+
+        poses = np.stack(
+            list(self.keyframe_poses[start:]) + [eye4] * (w - k_window)
+        )
         edges = posegraph.PoseGraphEdges(
-            i=jnp.asarray([idx[self._edges_i[e]] for e in sel], jnp.int32),
-            j=jnp.asarray([idx[self._edges_j[e]] for e in sel], jnp.int32),
-            measurement=jnp.asarray(
-                np.stack([self._edges_meas[e] for e in sel]), jnp.float32
-            ),
-            information=jnp.asarray(
-                np.stack([self._edges_info[e] for e in sel]), jnp.float32
-            ),
+            i=jnp.asarray(i_idx),
+            j=jnp.asarray(j_idx),
+            measurement=jnp.asarray(meas, jnp.float32),
+            information=jnp.asarray(info, jnp.float32),
         )
-        window_poses = jnp.asarray(
-            np.stack(self.keyframe_poses[start:]), jnp.float32
+        out = posegraph.optimize_pose_graph(
+            jnp.asarray(poses, jnp.float32), edges, max_iterations=10
         )
-        out = posegraph.optimize_pose_graph(window_poses, edges, max_iterations=10)
         optimized = np.asarray(out.poses, dtype=np.float64)
         if np.all(np.isfinite(optimized)):
             for l, g in enumerate(range(start, k_total)):

@@ -214,6 +214,7 @@ def fit_from_matches(
         threshold=ransac_threshold,
         num_hypotheses=num_hypotheses,
         weights=matches.confidence * valid.astype(jnp.float32),
+        sample_mask=valid,
     )
 
     success = (

@@ -128,8 +128,11 @@ def _warp_geometry(depth_prev_m, intrinsics, transform, grid_stride=1):
     def k(i, j):
         return intrinsics[..., i, j][..., None, None]
 
-    # Full projection including skew/principal point.
-    u = (k(0, 0) * pts_t[..., 0] + k(0, 1) * pts_t[..., 1] + k(0, 2) * zc) / z_safe
+    # Skew-free pinhole projection: the closed-form warp Jacobian
+    # (warp_jacobian_times_grad) assumes K[0,1] == 0, so the projection
+    # must match or residuals and descent direction disagree.  Real RGB-D
+    # intrinsics have zero skew; a nonzero K[0,1] is ignored here.
+    u = (k(0, 0) * pts_t[..., 0] + k(0, 2) * zc) / z_safe
     v = (k(1, 1) * pts_t[..., 1] + k(1, 2) * zc) / z_safe
     return pts_t, u, v, depth_valid & in_front
 

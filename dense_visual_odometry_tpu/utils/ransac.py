@@ -54,6 +54,7 @@ def ransac_rigid(
     sample_size: int = 4,
     num_hypotheses: Optional[int] = None,
     weights: Optional[jnp.ndarray] = None,
+    sample_mask: Optional[jnp.ndarray] = None,
 ) -> RansacResult:
     """Robust SE(3) fit of ``dst ~= T @ src`` under outliers.
 
@@ -61,6 +62,11 @@ def ransac_rigid(
     threshold : inlier distance in meters.
     num_hypotheses : static hypothesis count; default from the reference's
         confidence formula.
+    sample_mask : optional (N,) bool — rows eligible for minimal samples.
+        With fixed-shape masked inputs (invalid rows present as padding),
+        sampling MUST be restricted to real rows or hypothesis quality
+        collapses as the valid fraction drops (the reference compacted its
+        match arrays before RANSAC; the mask replaces that compaction).
 
     All hypotheses are fit and scored in parallel; the one with the most
     inliers wins and its consensus set is refit (weighted, if ``weights``).
@@ -74,9 +80,18 @@ def ransac_rigid(
         )
 
     keys = jax.random.split(key, num_hypotheses)
+    if sample_mask is not None:
+        raw = sample_mask.astype(jnp.float32)
+        total = jnp.sum(raw)
+        # All-invalid input degenerates to uniform sampling (the fit's
+        # validity gates reject the result downstream anyway); p must
+        # still be a proper distribution.
+        probs = jnp.where(total > 0.0, raw / jnp.maximum(total, 1.0), 1.0 / n)
+    else:
+        probs = None
 
     def one_hypothesis(k):
-        idx = jax.random.choice(k, n, shape=(sample_size,), replace=False)
+        idx = jax.random.choice(k, n, shape=(sample_size,), replace=False, p=probs)
         fit = fit_rigid_svd(src[idx], dst[idx])
         moved = src @ fit.transform[:3, :3].T + fit.transform[:3, 3]
         dist = jnp.linalg.norm(moved - dst, axis=-1)
