@@ -78,7 +78,10 @@ def _edge_residual_and_jacobians(x_i, x_j, measurement):
 
 
 def build_normal_system(
-    poses: jnp.ndarray, edges: PoseGraphEdges, k: int
+    poses: jnp.ndarray,
+    edges: PoseGraphEdges,
+    k: int,
+    robust_delta: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Linearize all edges at ``poses`` -> (chi2, H (K,K,6,6), b (K,6)).
 
@@ -87,6 +90,12 @@ def build_normal_system(
     one; this is what the distributed backend reduces over the mesh
     (parallel/distributed.py).  Edges with zero information contribute
     exactly nothing, so device-count padding is free.
+
+    ``robust_delta`` applies a redescending Geman-McClure kernel per
+    edge: weight ``(d^2 / (d^2 + chi^2))^2`` with chi the Mahalanobis
+    error sqrt(r^T Omega r) — gross-outlier loop closures are driven to
+    ~zero weight instead of merely softened (a Huber kernel still drags
+    the graph linearly, which one bad closure exploits).
     """
     x_i = poses[edges.i]
     x_j = poses[edges.j]
@@ -94,6 +103,11 @@ def build_normal_system(
         x_i, x_j, edges.measurement
     )
     omega = edges.information
+    if robust_delta is not None:
+        chi_sq = jnp.maximum(jnp.einsum("ea,eab,eb->e", r, omega, r), 1e-12)
+        d_sq = robust_delta * robust_delta
+        w = (d_sq / (d_sq + chi_sq)) ** 2
+        omega = omega * w[:, None, None]
     # chi2 and per-edge weighted Jacobians.
     omega_r = jnp.einsum("eab,eb->ea", omega, r)
     chi2 = jnp.sum(r * omega_r)
@@ -135,7 +149,9 @@ def solve_normal_system(
     return jnp.where(ok, delta, 0.0), ok
 
 
-@functools.partial(jax.jit, static_argnames=("max_iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("max_iterations", "robust_delta")
+)
 def optimize_pose_graph(
     poses: jnp.ndarray,
     edges: PoseGraphEdges,
@@ -143,16 +159,19 @@ def optimize_pose_graph(
     tolerance: float = 1e-9,
     gauge_weight: float = 1e6,
     damping: float = 1e-6,
+    robust_delta: Optional[float] = None,
 ) -> PoseGraphResult:
     """Gauss-Newton over the window; everything on-device.
 
     poses : (K, 4, 4) initial camera-to-world poses.
+    robust_delta : optional Huber threshold on per-edge Mahalanobis error
+        (outlier-edge protection; see ``build_normal_system``).
     """
     k = poses.shape[0]
     dim = 6 * k
 
     def evaluate(ps):
-        return build_normal_system(ps, edges, k)
+        return build_normal_system(ps, edges, k, robust_delta)
 
     gauge = jnp.zeros((k, 6), jnp.float32).at[0].set(gauge_weight)
 

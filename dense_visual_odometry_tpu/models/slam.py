@@ -60,6 +60,10 @@ class KeyframePolicy:
     loop_max_error: float = 400.0
     loop_max_candidates: int = 2  # dense verifications per new keyframe
     max_stored_keyframes: int = 64  # FrameData retained for loop checks
+    # Redescending robust kernel threshold for BA edges (Mahalanobis
+    # units); None = quadratic.  Loop closures are dense-verified before
+    # insertion, so this is a second line of defence.
+    ba_robust_delta: Optional[float] = None
 
 
 class SlamSession:
@@ -214,7 +218,8 @@ class SlamSession:
             information=jnp.asarray(info, jnp.float32),
         )
         out = posegraph.optimize_pose_graph(
-            jnp.asarray(poses, jnp.float32), edges, max_iterations=10
+            jnp.asarray(poses, jnp.float32), edges, max_iterations=10,
+            robust_delta=self.policy.ba_robust_delta,
         )
         optimized = np.asarray(out.poses, dtype=np.float64)
         if np.all(np.isfinite(optimized)):
@@ -301,7 +306,10 @@ class SlamSession:
             information=jnp.asarray(np.stack(self._edges_info), jnp.float32),
         )
         poses = jnp.asarray(np.stack(self.keyframe_poses), jnp.float32)
-        out = posegraph.optimize_pose_graph(poses, edges, max_iterations=max_iterations)
+        out = posegraph.optimize_pose_graph(
+            poses, edges, max_iterations=max_iterations,
+            robust_delta=self.policy.ba_robust_delta,
+        )
         optimized = np.asarray(out.poses, dtype=np.float64)
         if np.all(np.isfinite(optimized)):
             for g in range(len(self.keyframe_poses)):
