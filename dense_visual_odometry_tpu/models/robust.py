@@ -111,10 +111,18 @@ def preprocess_frame(
 ) -> FrameData:
     """Color/gray + raw depth -> pyramids, fully on device.
 
-    color_or_gray : (H, W, 3) RGB or (H, W) gray, any numeric dtype.
-    depth_raw : (H, W) raw depth DN (0 = invalid).
+    color_or_gray : (..., H, W, 3) RGB or (..., H, W) gray, any numeric
+        dtype (leading dims are batch).  RGB is detected by a trailing
+        channel axis of size 3 matching ``depth_raw``'s spatial shape —
+        a (degenerate) 3-pixel-wide gray image would need explicit
+        conversion by the caller.
+    depth_raw : (..., H, W) raw depth DN (0 = invalid).
     """
-    if color_or_gray.ndim == 3:
+    is_rgb = (
+        color_or_gray.ndim == depth_raw.ndim + 1
+        and color_or_gray.shape[-1] == 3
+    )
+    if is_rgb:
         gray = pyr_ops.rgb_to_gray(color_or_gray, quantize=quantize)
     else:
         gray = color_or_gray.astype(jnp.float32)
