@@ -11,3 +11,11 @@ from dense_visual_odometry_tpu.models.session import (  # noqa: F401
     SessionState,
     session_step,
 )
+from dense_visual_odometry_tpu.models.batched_session import (  # noqa: F401
+    BatchedOdometrySession,
+    batched_session_step,
+)
+from dense_visual_odometry_tpu.models.slam import (  # noqa: F401
+    KeyframePolicy,
+    SlamSession,
+)
