@@ -33,10 +33,18 @@ class TWeighterConfig:
     # negligibly).  1 = exact (reference behaviour); weights themselves
     # are always computed at full resolution.
     scale_subsample: int = 1
+    # When set, run exactly N unrolled fixed-point steps instead of the
+    # convergence-checked while_loop.  Each on-device loop step costs
+    # ~0.5 ms of scheduling overhead regardless of its tiny body; with a
+    # warm-started lambda 2-3 unrolled steps reach the same fixed point
+    # (validated in benchmarks/RESULTS.md).  None = reference behaviour.
+    unroll_iterations: Optional[int] = None
 
     def __post_init__(self):
         if self.scale_subsample < 1:
             raise ValueError("scale_subsample must be >= 1")
+        if self.unroll_iterations is not None and self.unroll_iterations < 1:
+            raise ValueError("unroll_iterations must be >= 1 or None")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -91,12 +91,7 @@ def t_distribution_weights_with_scale(
     else:
         init_lambda = jnp.broadcast_to(init_lambda, batch_shape)
 
-    def cond(carry):
-        _, it, done = carry
-        return jnp.logical_and(jnp.any(~done), it < cfg.max_iterations)
-
-    def body(carry):
-        lam, it, done = carry
+    def fixed_point(lam):
         sigma_sq = (
             jnp.sum(
                 v_est * r_est * (dof + 1.0) / (dof + r_est * lam[expand]),
@@ -104,16 +99,31 @@ def t_distribution_weights_with_scale(
             )
             / denom
         )
-        new_lam = 1.0 / jnp.maximum(sigma_sq, 1e-20)
-        new_lam = jnp.where(done, lam, new_lam)
-        new_done = done | (jnp.abs(new_lam - lam) < cfg.tolerance)
-        return new_lam, it + 1, new_done
+        return 1.0 / jnp.maximum(sigma_sq, 1e-20)
 
-    lam, _, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (init_lambda, jnp.int32(0), jnp.zeros(batch_shape, bool)),
-    )
+    if cfg.unroll_iterations is not None:
+        # Fixed unrolled steps: no loop scheduling overhead, no
+        # convergence check (the warm-started lambda converges in 2-3).
+        lam = init_lambda
+        for _ in range(cfg.unroll_iterations):
+            lam = fixed_point(lam)
+    else:
+
+        def cond(carry):
+            _, it, done = carry
+            return jnp.logical_and(jnp.any(~done), it < cfg.max_iterations)
+
+        def body(carry):
+            lam, it, done = carry
+            new_lam = jnp.where(done, lam, fixed_point(lam))
+            new_done = done | (jnp.abs(new_lam - lam) < cfg.tolerance)
+            return new_lam, it + 1, new_done
+
+        lam, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (init_lambda, jnp.int32(0), jnp.zeros(batch_shape, bool)),
+        )
     weights = validf * (dof + 1.0) / (dof + residuals_sq * lam[expand])
     return weights, lam
 
