@@ -171,6 +171,31 @@ class TestSyntheticConvergence:
             np.asarray(pose), np.asarray(se3.inverse(result.transform)), atol=1e-6
         )
 
+    def test_bench_fast_config_converges(self):
+        """The shipped TPU bench configuration (packed sampling +
+        shift-stack + strides + approx Jacobian + subsampled unrollable
+        weighter) must track the synthetic pair like the default config."""
+        from dense_visual_odometry_tpu.config import TWeighterConfig
+
+        cfg = RobustDVOConfig(
+            levels=3, max_iterations=12, use_weighter=True,
+            packed_sampling=True, grid_strides=(2, 1, 1),
+            weighter=TWeighterConfig(scale_subsample=4),
+            shift_stack_radius=4, shift_stack_levels=(0, 1),
+            approximate_image2_gradient=True,
+        )
+        tx = 0.01
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        result = track_pair(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        assert bool(result.success)
+        assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
+
     def test_tracker_jit_wrapper(self):
         cfg = RobustDVOConfig(levels=2, max_iterations=20)
         tracker = make_tracker(cfg)
