@@ -1,0 +1,123 @@
+"""Synthetic RGB-D sequence rendering from a single real frame.
+
+The only real data shipped with the reference is a 10-frame, almost
+motionless set — too easy to stress a solver.  This module renders a
+sequence with EXACT ground truth and arbitrary motion from one RGB-D
+frame: deproject the source frame, transform the cloud into each target
+camera, and z-buffer splat intensity + depth.  Occlusions/disocclusions
+come out naturally as holes (depth 0 = invalid), exactly the masking the
+solver must handle.
+
+Host-side numpy (done once per benchmark, not a hot path).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def render_view(
+    gray: np.ndarray,
+    depth_m: np.ndarray,
+    intrinsics: np.ndarray,
+    transform: np.ndarray,
+    splat_radius: int = 1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Render the source frame as seen from ``transform`` (src-cam ->
+    target-cam).  -> (gray', depth_m') with 0-depth holes."""
+    h, w = depth_m.shape
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+
+    v, u = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    z = depth_m.reshape(-1)
+    valid = z > 0
+    x = ((u.reshape(-1) - cx) / fx * z)[valid]
+    y = ((v.reshape(-1) - cy) / fy * z)[valid]
+    zz = z[valid]
+    g = gray.reshape(-1)[valid]
+
+    pts = np.stack([x, y, zz], axis=-1) @ transform[:3, :3].T + transform[:3, 3]
+    zt = pts[:, 2]
+    front = zt > 1e-6
+    pts, g, zt = pts[front], g[front], zt[front]
+
+    ut = np.round(pts[:, 0] / zt * fx + cx).astype(int)
+    vt = np.round(pts[:, 1] / zt * fy + cy).astype(int)
+    inside = (ut >= 0) & (ut < w) & (vt >= 0) & (vt < h)
+    ut, vt, g, zt = ut[inside], vt[inside], g[inside], zt[inside]
+
+    # Z-buffer splat: nearest point wins; small splat fills pinholes.
+    out_gray = np.zeros((h, w), np.float32)
+    out_depth = np.zeros((h, w), np.float32)
+    zbuf = np.full((h, w), np.inf, np.float32)
+    order = np.argsort(-zt)  # far first, near overwrites
+    for dy in range(-splat_radius, splat_radius + 1):
+        for dx in range(-splat_radius, splat_radius + 1):
+            uu = np.clip(ut[order] + dx, 0, w - 1)
+            vv = np.clip(vt[order] + dy, 0, h - 1)
+            # Later (nearer) writes win within this pass.
+            zbuf[vv, uu] = zt[order]
+            out_gray[vv, uu] = g[order]
+            out_depth[vv, uu] = zt[order]
+    del zbuf
+    return out_gray, out_depth
+
+
+def orbit_trajectory(
+    n: int, radius: float = 0.05, angle: float = 0.05, advance: float = 0.02
+) -> np.ndarray:
+    """(N, 4, 4) camera-to-world poses: a forward-advancing orbit wiggle
+    exercising all six DoF."""
+    poses = []
+    for t in range(n):
+        phase = 2 * np.pi * t / max(n - 1, 1)
+        # Rotation: small roll+pitch+yaw wobble.
+        rx, ry, rz = (
+            angle * np.sin(phase),
+            angle * np.cos(phase),
+            0.5 * angle * np.sin(2 * phase),
+        )
+        def rot(axis, a):
+            c, s = np.cos(a), np.sin(a)
+            m = np.eye(3)
+            i, j = [(1, 2), (0, 2), (0, 1)][axis]
+            m[i, i] = c
+            m[j, j] = c
+            m[i, j] = -s if axis != 1 else s
+            m[j, i] = s if axis != 1 else -s
+            return m
+        r = rot(0, rx) @ rot(1, ry) @ rot(2, rz)
+        p = np.eye(4)
+        p[:3, :3] = r
+        p[:3, 3] = [
+            radius * np.sin(phase),
+            radius * (1 - np.cos(phase)),
+            advance * t,
+        ]
+        poses.append(p)
+    return np.stack(poses)
+
+
+def render_sequence(
+    gray: np.ndarray,
+    depth_m: np.ndarray,
+    intrinsics: np.ndarray,
+    poses: np.ndarray,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Render frames of the source scene from camera-to-world ``poses``
+    (pose[0] should be identity-ish; the source frame defines the world).
+
+    -> (grays, depths_m) lists.
+    """
+    grays, depths = [], []
+    for pose in poses:
+        # Points in world == source camera frame; target camera sees
+        # X_t = pose^-1 @ X_world.
+        t = np.linalg.inv(pose)
+        g, d = render_view(gray, depth_m, intrinsics, t)
+        grays.append(g)
+        depths.append(d)
+    return grays, depths
