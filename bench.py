@@ -96,6 +96,7 @@ def main():
         weighter=TWeighterConfig(scale_subsample=4),
         shift_stack_radius=4, shift_stack_levels=(0, 1, 2),
         approximate_image2_gradient=True,
+        relative_tolerance=1e-2,
     )
     seq = load_bundled_sequence()
 

@@ -61,6 +61,12 @@ class RobustDVOConfig:
     sigma: Optional[float] = None  # motion-prior strength (None = no prior)
     tolerance: float = 1e-6
     max_iterations: int = 100
+    # Additional relative stopping rule: |err - err_prev| < rel * err.
+    # The reference's absolute tolerance (1e-6 on errors of O(100))
+    # effectively runs GN until float noise; a relative rule stops when
+    # progress per iteration drops below ``relative_tolerance`` of the
+    # current error.  None disables (reference behaviour).
+    relative_tolerance: Optional[float] = None
     approximate_image2_gradient: bool = False
     max_distance: float = 5.0
     weighter: TWeighterConfig = dataclasses.field(default_factory=TWeighterConfig)

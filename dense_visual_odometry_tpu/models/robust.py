@@ -293,6 +293,10 @@ def _solve_level(
 
         err_diff = err - c.err_prev
         converged = jnp.abs(err_diff) < cfg.tolerance
+        if cfg.relative_tolerance is not None:
+            converged = converged | (
+                jnp.abs(err_diff) < cfg.relative_tolerance * jnp.abs(err)
+            )
         decreased = err_diff < 0.0
         active = ~c.done
         accept = decreased & ~converged & ok & active
