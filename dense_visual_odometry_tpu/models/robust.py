@@ -223,6 +223,7 @@ def _solve_level(
                 precomputed_jacobian=pre_jac,
                 grid_stride=stride,
                 radius=cfg.shift_stack_radius,
+                use_pallas=cfg.use_pallas_stack,
             )
         elif cfg.packed_sampling:
             res, jac, valid = warp_residuals_packed(

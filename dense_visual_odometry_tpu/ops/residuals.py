@@ -245,12 +245,14 @@ def warp_residuals_shift(
     precomputed_jacobian: Optional[jnp.ndarray] = None,
     grid_stride: int = 1,
     radius: int = 3,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Gather-free variant: the current image is sampled by a shift stack
     (``ops.shiftwarp``) — zero gather indices, valid while the warp
     displacement stays within ``radius`` full-res pixels.  Gradients (when
     not using a precomputed Jacobian) come from the packed plane with one
-    nearest-neighbour gather.
+    nearest-neighbour gather.  ``use_pallas`` swaps in the fused Pallas
+    accumulation kernel (same results; far faster to compile on TPU).
     """
     from dense_visual_odometry_tpu.ops.interp import nearest_sample_packed
     from dense_visual_odometry_tpu.ops.shiftwarp import shift_stack_sample
@@ -258,10 +260,20 @@ def warp_residuals_shift(
     pts_t, u, v, valid_geom = _warp_geometry(
         depth_prev_m, intrinsics, transform, grid_stride
     )
-    warped_intensity, warp_ok = shift_stack_sample(
-        gray_curr, u, v, radius=radius, grid_stride=grid_stride,
-        coord_mask=valid_geom,
-    )
+    if use_pallas:
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            shift_stack_sample_pallas,
+        )
+
+        warped_intensity, warp_ok = shift_stack_sample_pallas(
+            gray_curr, u, v, radius=radius, grid_stride=grid_stride,
+            coord_mask=valid_geom,
+        )
+    else:
+        warped_intensity, warp_ok = shift_stack_sample(
+            gray_curr, u, v, radius=radius, grid_stride=grid_stride,
+            coord_mask=valid_geom,
+        )
     valid = valid_geom & warp_ok
 
     residuals = jnp.where(valid, warped_intensity - gray_prev, 0.0)
