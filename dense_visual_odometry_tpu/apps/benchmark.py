@@ -216,10 +216,13 @@ def main(argv=None):
         format="%(asctime)s - %(name)s - %(levelname)s: %(message)s",
         stream=sys.stdout,
     )
-    if args.platform == "cpu":
+    if args.platform is not None:
+        # Must happen before first JAX use; applies to every listed choice
+        # so the reported backend always matches the request (a silently
+        # ignored --platform tpu would misrepresent the measurement).
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", args.platform)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parents[2] / ".jax_cache"))

@@ -57,6 +57,12 @@ def associate(ts_a: np.ndarray, ts_b: np.ndarray, max_diff: float):
 
 def main(argv=None):
     args = parse_args(argv)
+    # Pure host-side I/O + numpy scoring: pin JAX to CPU so the Pose
+    # helpers in trajectory loading never touch (and wait on) a remote
+    # accelerator backend.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from dense_visual_odometry_tpu import metrics
     from dense_visual_odometry_tpu.io import trajectory
 

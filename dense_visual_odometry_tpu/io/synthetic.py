@@ -53,16 +53,29 @@ def render_view(
     out_gray = np.zeros((h, w), np.float32)
     out_depth = np.zeros((h, w), np.float32)
     zbuf = np.full((h, w), np.inf, np.float32)
-    order = np.argsort(-zt)  # far first, near overwrites
-    for dy in range(-splat_radius, splat_radius + 1):
-        for dx in range(-splat_radius, splat_radius + 1):
-            uu = np.clip(ut[order] + dx, 0, w - 1)
-            vv = np.clip(vt[order] + dy, 0, h - 1)
-            # Later (nearer) writes win within this pass.
-            zbuf[vv, uu] = zt[order]
-            out_gray[vv, uu] = g[order]
-            out_depth[vv, uu] = zt[order]
-    del zbuf
+    order = np.argsort(-zt)  # far first, near overwrites within a pass
+    zo, go = zt[order], g[order]
+    # Center pass first, then growing splat rings; every pass only writes
+    # where it is strictly nearer than the z-buffer so a far point's offset
+    # splat in a later pass can never overwrite a near point's earlier
+    # center write (cross-pass occlusion).
+    offsets = sorted(
+        (
+            (dy, dx)
+            for dy in range(-splat_radius, splat_radius + 1)
+            for dx in range(-splat_radius, splat_radius + 1)
+        ),
+        key=lambda o: abs(o[0]) + abs(o[1]),
+    )
+    for dy, dx in offsets:
+        uu = np.clip(ut[order] + dx, 0, w - 1)
+        vv = np.clip(vt[order] + dy, 0, h - 1)
+        nearer = zo < zbuf[vv, uu]
+        uu, vv = uu[nearer], vv[nearer]
+        # Later (nearer) writes win within this pass.
+        zbuf[vv, uu] = zo[nearer]
+        out_gray[vv, uu] = go[nearer]
+        out_depth[vv, uu] = zo[nearer]
     return out_gray, out_depth
 
 

@@ -139,7 +139,6 @@ class _GNCarry(NamedTuple):
     err_prev: jnp.ndarray  # f32 error of the last *accepted* step
     err_last: jnp.ndarray  # f32 error of the last evaluation (diagnostics)
     count_last: jnp.ndarray  # f32 valid pixels at last evaluation
-    hess_last: jnp.ndarray  # (6, 6) photometric J^T W J at last evaluation
     weight_lambda: jnp.ndarray  # (...) warm-started IRLS 1/sigma^2
     inc_count: jnp.ndarray  # i32 consecutive error increases
     it: jnp.ndarray  # i32 iterations executed
@@ -156,6 +155,7 @@ def _solve_level(
     cfg: RobustDVOConfig,
     level: int = 0,
     depth_curr_m: Optional[jnp.ndarray] = None,
+    want_hessian: bool = False,
 ) -> Tuple[jnp.ndarray, LevelDiagnostics]:
     """Gauss-Newton at one pyramid level as a single ``while_loop``.
 
@@ -316,13 +316,13 @@ def _solve_level(
             jnp.where(decreased, 0, c.inc_count + 1),
         )
         done = c.done | converged | (inc_count > cfg.max_increased_steps_allowed) | ~ok
+        del photo_hess  # the output hessian is re-evaluated after the loop
         return _GNCarry(
             estimate=estimate,
             prior_anchor=prior_anchor,
             err_prev=err_prev,
             err_last=jnp.where(active, err, c.err_last),
             count_last=jnp.where(active, count, c.count_last),
-            hess_last=jnp.where(active[..., None, None], photo_hess, c.hess_last),
             weight_lambda=lam,
             inc_count=inc_count,
             it=c.it + 1,
@@ -336,7 +336,6 @@ def _solve_level(
         err_prev=jnp.full(batch_shape, fmax, jnp.float32),
         err_last=jnp.full(batch_shape, fmax, jnp.float32),
         count_last=jnp.zeros(batch_shape, jnp.float32),
-        hess_last=jnp.zeros(batch_shape + (6, 6), jnp.float32),
         weight_lambda=jnp.full(
             batch_shape, 1.0 / (cfg.weighter.initial_sigma**2), jnp.float32
         ),
@@ -348,7 +347,16 @@ def _solve_level(
     diag = LevelDiagnostics(
         iterations=final.it, error=final.err_last, count=final.count_last
     )
-    return final.estimate, diag, final.hess_last
+    if want_hessian:
+        # The Laplace information must be evaluated AT the returned
+        # estimate.  In-loop evaluations lag it whenever the loop exits
+        # right after an accepted increment (iteration cap), so re-evaluate
+        # once at the final estimate (warm-started IRLS scale); the BA
+        # layer (models/slam.py) depends on this being exact.
+        hess = evaluate(final.estimate, final.prior_anchor, final.weight_lambda)[4]
+    else:
+        hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
+    return final.estimate, diag, hess
 
 
 def track_pair(
@@ -389,6 +397,7 @@ def track_pair(
             cfg,
             level=level,
             depth_curr_m=curr.depth_m[level],
+            want_hessian=(level == 0),
         )
         diags.append(diag)
 

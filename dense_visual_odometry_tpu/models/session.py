@@ -51,7 +51,9 @@ class StepOutput(NamedTuple):
     result: TrackResult  # full diagnostics
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "use_cv_guess"), donate_argnums=(0,)
+)
 def session_step(
     state: SessionState,
     image: jnp.ndarray,
@@ -60,11 +62,18 @@ def session_step(
     depth_scale: jnp.ndarray,
     init_guess: jnp.ndarray,
     cfg: RobustDVOConfig,
+    use_cv_guess: bool = False,
 ) -> Tuple[SessionState, StepOutput]:
     """One tracking step as a pure function (state donated / reused in place).
 
     image : (H, W, 3) RGB or (H, W) gray, any numeric dtype.
     depth_raw : (H, W) raw depth DN.
+
+    ``use_cv_guess`` seeds the solve from ``state.last_transform``
+    (constant-velocity warm start) and ignores ``init_guess``.  The choice
+    happens INSIDE the jit because the state is donated — a caller passing
+    ``state.last_transform`` as ``init_guess`` would hand the same buffer
+    in twice (`f(donate(a), a)`, a runtime error).
     """
     camera = CameraModel(intrinsics=intrinsics, depth_scale=depth_scale)
     curr = preprocess_frame(
@@ -75,7 +84,8 @@ def session_step(
 
     result = track_pair(
         state.prev, curr, camera, cfg,
-        init_guess=init_guess, last_transform=state.last_transform,
+        init_guess=state.last_transform if use_cv_guess else init_guess,
+        last_transform=state.last_transform,
     )
 
     eye = jnp.eye(4, dtype=jnp.float32)
@@ -171,16 +181,17 @@ class OdometrySession:
         if self._state is None:
             h, w = depth.shape[-2], depth.shape[-1]
             self._state = init_state(h, w, self.config.levels, self._init_pose)
+        use_cv = init_guess is None and self.config.constant_velocity_init
         if init_guess is not None:
             # An explicit caller guess (e.g. IMU prediction) always wins.
             guess = jnp.asarray(init_guess, jnp.float32)
-        elif self.config.constant_velocity_init:
-            guess = self._state.last_transform
         else:
+            # With use_cv the guess is read from the (donated) state inside
+            # the jit; this identity is just a placeholder argument.
             guess = jnp.eye(4, dtype=jnp.float32)
         self._state, out = session_step(
             self._state, image, depth, self._intrinsics, self._depth_scale,
-            guess, self.config,
+            guess, self.config, use_cv_guess=use_cv,
         )
         self.last_output = out
         return Pose(out.pose)

@@ -106,7 +106,9 @@ def optimize_pose_graph_sharded(
             chi2_hist = chi2_hist.at[it].set(chi2)
             prev = jnp.where(it > 0, chi2_hist[jnp.maximum(it - 1, 0)], jnp.inf)
             new_done = done | ~ok | (jnp.abs(prev - chi2) < tolerance)
-            return new_ps, chi2_hist, it + 1, new_done
+            # Freeze the iteration count once converged so the reported
+            # count matches the single-device optimize_pose_graph.
+            return new_ps, chi2_hist, jnp.where(done, it, it + 1), new_done
 
         init = (
             poses,

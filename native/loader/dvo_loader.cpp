@@ -68,18 +68,17 @@ Image decode_png(const char* path, bool want_depth16) {
   int color_type = png_get_color_type(png, info);
 
   if (want_depth16) {
-    // Expect 16-bit gray; libpng delivers network order, swap to host.
+    // Depth must be 16-bit gray (TUM RGB-D convention).  Anything else is
+    // rejected (ok=false) so callers fall back to the OpenCV path: an
+    // 8-bit buffer reinterpreted as uint16 would both overread and
+    // scramble the depth DNs.
     if (color_type != PNG_COLOR_TYPE_GRAY || bit_depth != 16) {
-      // Promote 8-bit gray to 16 for uniformity.
-      if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth == 8) {
-        png_set_expand_gray_1_2_4_to_8(png);
-      } else {
-        png_destroy_read_struct(&png, &info, nullptr);
-        std::fclose(fp);
-        return out;
-      }
+      png_destroy_read_struct(&png, &info, nullptr);
+      std::fclose(fp);
+      return out;
     }
-    if (bit_depth == 16) png_set_swap(png);
+    // libpng delivers network order; swap to host.
+    png_set_swap(png);
   } else {
     // Normalize everything to 8-bit RGB.
     if (bit_depth == 16) png_set_strip_16(png);

@@ -8,8 +8,10 @@ from dense_visual_odometry_tpu.config import RobustDVOConfig
 from dense_visual_odometry_tpu.io import load_bundled_sequence
 from dense_visual_odometry_tpu.io.checkpoint import (
     load_session,
+    load_slam_session,
     load_trajectory_state,
     save_session,
+    save_slam_session,
     save_trajectory_state,
 )
 from dense_visual_odometry_tpu.models.session import OdometrySession
@@ -119,6 +121,34 @@ class TestCheckpoint:
             pa = np.asarray(a.step(rgb, depth).matrix)
             pb = np.asarray(b.step(rgb, depth).matrix)
             np.testing.assert_array_equal(pa, pb)
+
+    def test_slam_save_resume_bitexact(self, short_seq, tmp_path):
+        cfg = RobustDVOConfig(levels=3, use_weighter=True)
+        policy = KeyframePolicy(max_translation=0.01, max_rotation=0.01, window=4)
+        a = SlamSession(short_seq.camera, cfg, policy)
+        frames = [short_seq.frame(i) for i in range(6)]
+
+        for rgb, depth in frames[:3]:
+            a.step(rgb, depth)
+        ckpt = save_slam_session(tmp_path / "slam.npz", a)
+
+        b = SlamSession(short_seq.camera, cfg, policy)
+        load_slam_session(ckpt, b)
+        assert b.num_keyframes == a.num_keyframes
+        assert b.keyframe_indices == a.keyframe_indices
+
+        for rgb, depth in frames[3:]:
+            pa = np.asarray(a.step(rgb, depth).matrix)
+            pb = np.asarray(b.step(rgb, depth).matrix)
+            np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(
+            a.optimized_trajectory(), b.optimized_trajectory()
+        )
+
+    def test_slam_empty_rejected(self, short_seq, tmp_path):
+        s = SlamSession(short_seq.camera)
+        with pytest.raises(ValueError, match="no keyframes"):
+            save_slam_session(tmp_path / "s.npz", s)
 
     def test_level_mismatch_rejected(self, short_seq, tmp_path):
         a = OdometrySession(short_seq.camera, RobustDVOConfig(levels=3))

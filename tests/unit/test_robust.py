@@ -155,6 +155,38 @@ class TestSyntheticConvergence:
         assert bool(result.success)
         assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
 
+    def test_hessian_evaluated_at_returned_estimate(self):
+        """The Laplace information (BA edge weight) must be J^T W J at the
+        RETURNED transform — including when the loop exits via the
+        iteration cap right after an accepted increment (the case where
+        the in-loop hessian lags the estimate by one GN step)."""
+        from dense_visual_odometry_tpu.ops import gradients as grad_ops
+        from dense_visual_odometry_tpu.ops.residuals import (
+            normal_equations,
+            warp_residuals,
+        )
+
+        # Tiny cap + impossible tolerance => guaranteed cap exit mid-descent.
+        cfg = RobustDVOConfig(levels=1, max_iterations=3, tolerance=1e-12)
+        gray1, gray2, depth = _shifted_pair(0.01)
+        camera = CameraModel.create(K, 1.0)
+        result = track_pair(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        gx, gy = grad_ops.sobel(jnp.asarray(gray2))
+        res, jac, valid = warp_residuals(
+            jnp.asarray(gray1), jnp.asarray(depth), jnp.asarray(gray2),
+            jnp.asarray(K), result.transform, gx / 8.0, gy / 8.0,
+        )
+        fresh = normal_equations(res, jac, valid.astype(jnp.float32), valid)
+        np.testing.assert_allclose(
+            np.asarray(result.hessian), np.asarray(fresh.hessian),
+            rtol=1e-5, atol=1e-3,
+        )
+
     def test_step_pose_composition(self):
         cfg = RobustDVOConfig(levels=2, max_iterations=20)
         gray1, gray2, depth = _shifted_pair(0.01)
