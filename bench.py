@@ -97,6 +97,7 @@ def main():
         shift_stack_radius=4, shift_stack_levels=(0, 1, 2),
         approximate_image2_gradient=True,
         relative_tolerance=1e-2,
+        lm_lambda0=1e-4,
         use_pallas_stack=True,
     )
     seq = load_bundled_sequence()

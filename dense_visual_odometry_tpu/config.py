@@ -107,6 +107,22 @@ class RobustDVOConfig:
     # takes minutes; the kernel seconds).  Requires grid_stride in {1, 2}
     # at the shift-stack levels.
     use_pallas_stack: bool = False
+    # Levenberg-Marquardt trust-region mode (north-star "Gauss-Newton/
+    # Levenberg-Marquardt").  None = plain Gauss-Newton with the
+    # reference's exact stopping semantics.  A value enables LM:
+    # - solve (H + lambda*diag(H)) delta = b with adaptive lambda
+    #   (x lm_up on a rejected trial, x lm_down on an accepted one);
+    # - rejected trials ROLL BACK (the reference/GN loop keeps a bad
+    #   increment applied) and re-solve the carried 6x6 system at higher
+    #   damping without re-evaluating residuals' Jacobian;
+    # - predictive stopping: converge when the predicted error reduction
+    #   0.5*delta^T b (in mean units) drops below ``tolerance`` or
+    #   ``relative_tolerance * err`` — saving the trailing
+    #   "confirm convergence" evaluation every level pays under GN.
+    lm_lambda0: Optional[float] = None
+    lm_up: float = 4.0
+    lm_down: float = 0.5
+    lm_lambda_max: float = 1e5
     # Beyond-reference: add geometric (depth) residuals to the photometric
     # objective: cost = sum w r_I^2 + depth_weight * sum huber(r_z)^2 with
     # r_z in meters.  Makes motion observable in low-texture scenes; the
@@ -133,6 +149,10 @@ class RobustDVOConfig:
             raise ValueError("sigma must be positive or None")
         if self.finest_stride < 1:
             raise ValueError("finest_stride must be >= 1")
+        if self.lm_lambda0 is not None and self.lm_lambda0 <= 0:
+            raise ValueError("lm_lambda0 must be positive or None")
+        if self.lm_up <= 1.0 or not (0.0 < self.lm_down < 1.0):
+            raise ValueError("need lm_up > 1 and 0 < lm_down < 1")
         if self.grid_strides is not None:
             # JSON gives a list; coerce so the config stays hashable.
             object.__setattr__(self, "grid_strides", tuple(self.grid_strides))

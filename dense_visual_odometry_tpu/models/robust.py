@@ -145,6 +145,136 @@ class _GNCarry(NamedTuple):
     done: jnp.ndarray  # bool
 
 
+class _LMCarry(NamedTuple):
+    est_acc: jnp.ndarray  # (..., 4, 4) last ACCEPTED transform
+    anchor_acc: jnp.ndarray  # (..., 4, 4) motion-prior anchor at est_acc
+    est_try: jnp.ndarray  # (..., 4, 4) trial point evaluated next
+    anchor_try: jnp.ndarray
+    hess_acc: jnp.ndarray  # (..., 6, 6) full system (incl. prior) at est_acc
+    rhs_acc: jnp.ndarray  # (..., 6)
+    err_acc: jnp.ndarray  # f32 error at est_acc (inf before first eval)
+    count_acc: jnp.ndarray  # f32 valid pixels at est_acc
+    lm_lambda: jnp.ndarray  # (...) adaptive damping
+    weight_lambda: jnp.ndarray  # (...) warm-started IRLS 1/sigma^2
+    it: jnp.ndarray  # i32
+    done: jnp.ndarray  # bool
+
+
+def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape):
+    """Levenberg-Marquardt trust-region iteration (``cfg.lm_lambda0`` set).
+
+    Differences vs the reference/GN loop (deliberate, documented in
+    :class:`~dense_visual_odometry_tpu.config.RobustDVOConfig`):
+
+    - one residual/Jacobian evaluation per iteration, at the TRIAL point;
+      a rejected trial rolls back and re-solves the carried 6x6 system
+      with increased damping (the GN loop keeps bad increments applied
+      and re-evaluates the same system, reference
+      base_robust_dvo.py:214-227);
+    - damped solve ``(H + lambda * diag(H)) delta = b``;
+    - predictive stopping: the expected error decrease of the next step,
+      ``delta . b / count`` in mean-error units, under ``tolerance`` or
+      ``relative_tolerance * err`` ends the level — the level never pays
+      an extra evaluation just to confirm convergence.
+    """
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    rel = cfg.relative_tolerance
+
+    def cond(c: _LMCarry):
+        return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
+
+    def body(c: _LMCarry) -> _LMCarry:
+        hess, rhs, err, count, _photo, wlam = evaluate(
+            c.est_try, c.anchor_try, c.weight_lambda
+        )
+        ok_eval = jnp.isfinite(err) & (count >= 6.0)
+        active = ~c.done
+        take = (err < c.err_acc) & ok_eval & active
+        sel2 = take[..., None, None]
+        est_acc = jnp.where(sel2, c.est_try, c.est_acc)
+        anchor_acc = jnp.where(sel2, c.anchor_try, c.anchor_acc)
+        hess_acc = jnp.where(sel2, hess, c.hess_acc)
+        rhs_acc = jnp.where(take[..., None], rhs, c.rhs_acc)
+        err_acc = jnp.where(take, err, c.err_acc)
+        count_acc = jnp.where(take, count, c.count_acc)
+        lam = jnp.where(
+            active,
+            jnp.where(take, c.lm_lambda * cfg.lm_down, c.lm_lambda * cfg.lm_up),
+            c.lm_lambda,
+        )
+        lam = jnp.clip(lam, 1e-10, cfg.lm_lambda_max)
+
+        # Marquardt-scaled damped solve at the accepted point (carried
+        # system — a rejected trial costs no new pixel pass) with the same
+        # tiny Tikhonov floor as the GN path for rank deficiency.
+        floor = 1e-8 * (1.0 + jnp.trace(hess_acc, axis1=-2, axis2=-1))
+        damped = (
+            hess_acc
+            + lam[..., None, None] * (hess_acc * eye6)
+            + floor[..., None, None] * eye6
+        )
+        delta = jnp.linalg.solve(damped, rhs_acc[..., None])[..., 0]
+        ok = jnp.all(jnp.isfinite(delta), axis=-1) & (count_acc >= 6.0)
+        delta = jnp.where(ok[..., None], delta, 0.0)
+
+        # Predicted decrease of the mean error for this step.
+        pred = jnp.sum(delta * rhs_acc, axis=-1) / jnp.maximum(count_acc, 1.0)
+        converged = pred < cfg.tolerance
+        if rel is not None:
+            converged = converged | (pred < rel * jnp.abs(err_acc))
+        done = c.done | (converged & ok_eval) | ~ok | (lam >= cfg.lm_lambda_max)
+
+        inc = se3.exp(delta)
+        # The converging increment is predicted to (slightly) reduce the
+        # error — apply it rather than discard it, recovering the accuracy
+        # of the GN loop's trailing evaluation without paying for one.
+        apply_final = (converged & ok_eval & ok & active)[..., None, None]
+        est_acc = jnp.where(apply_final, inc @ est_acc, est_acc)
+        anchor_acc = jnp.where(
+            apply_final, se3.inverse(inc) @ anchor_acc, anchor_acc
+        )
+        move = (~done & active)[..., None, None]
+        est_try = jnp.where(move, inc @ est_acc, est_acc)
+        anchor_try = jnp.where(move, se3.inverse(inc) @ anchor_acc, anchor_acc)
+        return _LMCarry(
+            est_acc=est_acc,
+            anchor_acc=anchor_acc,
+            est_try=est_try,
+            anchor_try=anchor_try,
+            hess_acc=hess_acc,
+            rhs_acc=rhs_acc,
+            err_acc=err_acc,
+            count_acc=count_acc,
+            lm_lambda=lam,
+            weight_lambda=wlam,
+            it=c.it + 1,
+            done=done,
+        )
+
+    fmax = jnp.finfo(jnp.float32).max
+    init = _LMCarry(
+        est_acc=estimate0,
+        anchor_acc=prior_anchor0,
+        est_try=estimate0,
+        anchor_try=prior_anchor0,
+        hess_acc=jnp.zeros(batch_shape + (6, 6), jnp.float32),
+        rhs_acc=jnp.zeros(batch_shape + (6,), jnp.float32),
+        err_acc=jnp.full(batch_shape, fmax, jnp.float32),
+        count_acc=jnp.zeros(batch_shape, jnp.float32),
+        lm_lambda=jnp.full(batch_shape, cfg.lm_lambda0, jnp.float32),
+        weight_lambda=jnp.full(
+            batch_shape, 1.0 / (cfg.weighter.initial_sigma**2), jnp.float32
+        ),
+        it=jnp.int32(0),
+        done=jnp.zeros(batch_shape, bool),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    diag = LevelDiagnostics(
+        iterations=final.it, error=final.err_acc, count=final.count_acc
+    )
+    return final.est_acc, final.anchor_acc, final.weight_lambda, diag
+
+
 def _solve_level(
     gray_prev: jnp.ndarray,
     depth_prev_m: jnp.ndarray,
@@ -272,6 +402,16 @@ def _solve_level(
             rhs = rhs + inv_cov * log_old
             err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
         return hess, rhs, err, sys.count, photometric_hess, weight_lambda
+
+    if cfg.lm_lambda0 is not None:
+        final_est, final_anchor, final_wlam, diag = _lm_loop(
+            evaluate, estimate0, prior_anchor0, cfg, batch_shape
+        )
+        if want_hessian:
+            hess = evaluate(final_est, final_anchor, final_wlam)[4]
+        else:
+            hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
+        return final_est, diag, hess
 
     def cond(c: _GNCarry):
         return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)

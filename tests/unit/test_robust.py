@@ -155,6 +155,73 @@ class TestSyntheticConvergence:
         assert bool(result.success)
         assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
 
+    @pytest.mark.parametrize("tx", [0.01, -0.02])
+    def test_lm_mode_recovers_translation(self, tx):
+        cfg = RobustDVOConfig(
+            levels=3, max_iterations=60, tolerance=1e-9, lm_lambda0=1e-4,
+        )
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        result = track_pair(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        assert bool(result.success)
+        est = np.asarray(result.transform)
+        assert est[0, 3] == pytest.approx(tx, abs=2e-3)
+        np.testing.assert_allclose(est[:3, :3], np.eye(3), atol=2e-3)
+
+    def test_lm_uses_fewer_iterations_than_gn(self):
+        """The predictive stop must save the trailing confirm evaluation."""
+        gn = RobustDVOConfig(
+            levels=3, max_iterations=60, relative_tolerance=1e-2,
+            use_weighter=True,
+        )
+        lm = RobustDVOConfig(
+            levels=3, max_iterations=60, relative_tolerance=1e-2,
+            use_weighter=True, lm_lambda0=1e-4,
+        )
+        gray1, gray2, depth = _shifted_pair(0.015)
+        camera = CameraModel.create(K, 1.0)
+        prev = _frame_data(gray1, depth, 3)
+        curr = _frame_data(gray2, depth, 3)
+        r_gn = track_pair(prev, curr, camera, gn)
+        r_lm = track_pair(prev, curr, camera, lm)
+        assert bool(r_lm.success)
+        it_gn = int(np.asarray(r_gn.diagnostics.iterations).sum())
+        it_lm = int(np.asarray(r_lm.diagnostics.iterations).sum())
+        assert it_lm < it_gn
+        # Same answer to solver tolerance.
+        np.testing.assert_allclose(
+            np.asarray(r_lm.transform), np.asarray(r_gn.transform), atol=5e-4
+        )
+
+    def test_lm_with_prior_and_weighter(self):
+        cfg = RobustDVOConfig(
+            levels=3, max_iterations=60, lm_lambda0=1e-3,
+            use_weighter=True, sigma=10.0,
+        )
+        tx = 0.015
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        result = track_pair(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+            last_transform=jnp.eye(4),
+        )
+        assert bool(result.success)
+        assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
+
+    def test_lm_config_validation(self):
+        with pytest.raises(ValueError, match="lm_lambda0"):
+            RobustDVOConfig(lm_lambda0=-1.0)
+        with pytest.raises(ValueError, match="lm_up"):
+            RobustDVOConfig(lm_up=0.5)
+
     def test_hessian_evaluated_at_returned_estimate(self):
         """The Laplace information (BA edge weight) must be J^T W J at the
         RETURNED transform — including when the loop exits via the
@@ -215,6 +282,7 @@ class TestSyntheticConvergence:
             weighter=TWeighterConfig(scale_subsample=4),
             shift_stack_radius=4, shift_stack_levels=(0, 1),
             approximate_image2_gradient=True,
+            relative_tolerance=1e-2, lm_lambda0=1e-4,
         )
         tx = 0.01
         gray1, gray2, depth = _shifted_pair(tx)
