@@ -107,6 +107,16 @@ class RobustDVOConfig:
     # takes minutes; the kernel seconds).  Requires grid_stride in {1, 2}
     # at the shift-stack levels.
     use_pallas_stack: bool = False
+    # Fully-fused Pallas GN iteration at the shift-stack levels
+    # (ops/pallas/fused_iter.py): tap accumulation, residual, t-IRLS scale
+    # fixed point, weights and the H/b/err/count reduction in ONE kernel —
+    # one HBM pass per iteration, 45 scalars out.  Requires
+    # ``approximate_image2_gradient`` (precomputed Jacobian) and ignores
+    # ``weighter.scale_subsample`` (the in-VMEM scale uses every valid
+    # pixel); the scale runs ``weighter.unroll_iterations`` (default 3)
+    # unrolled steps.  Levels outside ``shift_stack_levels``, the motion
+    # prior, and depth residuals use the regular paths.
+    use_fused_iteration: bool = False
     # Levenberg-Marquardt trust-region mode (north-star "Gauss-Newton/
     # Levenberg-Marquardt").  None = plain Gauss-Newton with the
     # reference's exact stopping semantics.  A value enables LM:

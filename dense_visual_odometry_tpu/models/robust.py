@@ -345,7 +345,40 @@ def _solve_level(
     use_prior = cfg.sigma is not None
     inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
 
+    use_fused = (
+        use_shift_stack
+        and cfg.use_fused_iteration
+        and pre_jac is not None
+        and not cfg.use_depth_residuals
+    )
+
     def evaluate(estimate, prior_anchor, weight_lambda):
+        if use_fused:
+            from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
+                fused_shift_iteration,
+            )
+            from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
+
+            _, u, v, valid_geom = _warp_geometry(
+                depth_prev_m, intrinsics, estimate, stride
+            )
+            hess, rhs, err, count, lam = fused_shift_iteration(
+                gray_prev, gray_curr, u, v, valid_geom, pre_jac,
+                weight_lambda,
+                radius=cfg.shift_stack_radius,
+                grid_stride=stride,
+                dof=cfg.weighter.dof,
+                unroll=cfg.weighter.unroll_iterations or 3,
+                use_tweights=cfg.use_weighter,
+                normalize_scale=cfg.weighter.normalize_scale,
+            )
+            photometric_hess = hess
+            if use_prior:
+                log_old = se3.log(prior_anchor)
+                hess = hess + inv_cov * jnp.eye(6, dtype=jnp.float32)
+                rhs = rhs + inv_cov * log_old
+                err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
+            return hess, rhs, err, count, photometric_hess, lam
         if use_shift_stack:
             res, jac, valid = warp_residuals_shift(
                 gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,

@@ -119,36 +119,24 @@ def stack_accumulate_pallas(
     )(planes, du, dv)
 
 
-def shift_stack_sample_pallas(
+def prepare_shift_stack(
     image: jnp.ndarray,
     u: jnp.ndarray,
     v: jnp.ndarray,
     radius: int = 3,
     grid_stride: int = 1,
     coord_mask: jnp.ndarray | None = None,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in twin of ``shiftwarp.shift_stack_sample`` backed by the
-    fused Pallas accumulation kernel.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """XLA-side prep shared by the stack kernels: recentering, window
+    extraction, parity split.
 
-    Requires a batched (B, H, W) image (the solver always is); the
-    recentering window extraction and parity split run in XLA (cheap
-    block copies), the (2r+1)^2-tap accumulation runs on-chip.
+    image (B, H, W); u, v (B, H', W') -> (planes (B, s^2, ph, pw),
+    du, dv (B, H', W') recentered residual displacements, valid bool).
     """
     if radius < 1:
         raise ValueError("radius must be >= 1")
     if grid_stride not in (1, 2):
         raise ValueError("grid_stride must be 1 or 2 for the pallas path")
-    # Mosaic kernels only compile for TPU; other backends (CPU tests, the
-    # 8-device simulation) run the kernel in the interpreter — slower but
-    # numerically identical, so one code path serves everywhere.
-    if jax.default_backend() != "tpu":
-        interpret = True
-    squeeze = image.ndim == 2
-    if squeeze:
-        image, u, v = image[None], u[None], v[None]
-        if coord_mask is not None:
-            coord_mask = coord_mask[None]
     h, w = image.shape[-2], image.shape[-1]
     hp, wp = u.shape[-2], u.shape[-1]
     s = grid_stride
@@ -208,9 +196,41 @@ def shift_stack_sample_pallas(
         ],
         axis=1,
     )
+    return planes, du, dv, valid
 
+
+def shift_stack_sample_pallas(
+    image: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int = 3,
+    grid_stride: int = 1,
+    coord_mask: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in twin of ``shiftwarp.shift_stack_sample`` backed by the
+    fused Pallas accumulation kernel.
+
+    Requires a batched (B, H, W) image (the solver always is); the
+    recentering window extraction and parity split run in XLA (cheap
+    block copies), the (2r+1)^2-tap accumulation runs on-chip.
+    """
+    # Mosaic kernels only compile for TPU; other backends (CPU tests, the
+    # 8-device simulation) run the kernel in the interpreter — slower but
+    # numerically identical, so one code path serves everywhere.
+    if jax.default_backend() != "tpu":
+        interpret = True
+    squeeze = image.ndim == 2
+    if squeeze:
+        image, u, v = image[None], u[None], v[None]
+        if coord_mask is not None:
+            coord_mask = coord_mask[None]
+    planes, du, dv, valid = prepare_shift_stack(
+        image, u, v, radius=radius, grid_stride=grid_stride,
+        coord_mask=coord_mask,
+    )
     acc = stack_accumulate_pallas(
-        planes, du, dv, radius, grid_stride=s, interpret=interpret
+        planes, du, dv, radius, grid_stride=grid_stride, interpret=interpret
     )
     out = jnp.where(valid, acc, 0.0)
     if squeeze:

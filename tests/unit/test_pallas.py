@@ -5,28 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from dense_visual_odometry_tpu.ops.pallas.reduction import normal_equations_pallas
 from dense_visual_odometry_tpu.ops.residuals import normal_equations
-
-
-def _case(rng, b, h, w, all_valid=False):
-    res = jnp.asarray(rng.normal(size=(b, h, w)).astype(np.float32))
-    jac = jnp.asarray(rng.normal(size=(b, h, w, 6)).astype(np.float32))
-    wts = jnp.asarray(rng.uniform(0, 1, size=(b, h, w)).astype(np.float32))
-    valid = (
-        jnp.ones((b, h, w), bool)
-        if all_valid
-        else jnp.asarray(rng.uniform(size=(b, h, w)) > 0.3)
-    )
-    return res, jac, wts, valid
-
-
-def _check(a, b):
-    for name in ("hessian", "rhs", "error", "count"):
-        x = np.asarray(getattr(a, name))
-        y = np.asarray(getattr(b, name))
-        denom = max(np.abs(y).max(), 1e-6)
-        np.testing.assert_allclose(x / denom, y / denom, atol=5e-6)
 
 
 class TestStackWarpKernel:
@@ -109,24 +88,162 @@ class TestStackWarpKernel:
         assert float(r_pl.transform[0, 3]) == pytest.approx(tx, abs=2e-3)
 
 
-class TestReductionKernel:
-    @pytest.mark.parametrize("shape", [(2, 32, 128), (1, 64, 256), (3, 24, 128)])
-    def test_matches_xla(self, rng, shape):
-        case = _case(rng, *shape)
-        _check(
-            normal_equations_pallas(*case, interpret=True),
-            normal_equations(*case),
+class TestFusedIterationKernel:
+    def _problem(self, rng, b=2, h=40, w=56, stride=1):
+        """Random-but-realistic fused-iteration inputs plus the XLA
+        reference computation with matched weighter semantics."""
+        from dense_visual_odometry_tpu.config import TWeighterConfig
+        from dense_visual_odometry_tpu.models.weighting import (
+            t_distribution_weights_with_scale,
+        )
+        from dense_visual_odometry_tpu.ops.shiftwarp import shift_stack_sample
+
+        s = stride
+        hp, wp = (h + s - 1) // s, (w + s - 1) // s
+        img = jnp.asarray(rng.uniform(0, 255, size=(b, h, w)).astype(np.float32))
+        gray_prev = jnp.asarray(
+            rng.uniform(0, 255, size=(b, hp, wp)).astype(np.float32)
+        )
+        vv, uu = np.meshgrid(
+            np.arange(hp, dtype=np.float32) * s,
+            np.arange(wp, dtype=np.float32) * s,
+            indexing="ij",
+        )
+        u = jnp.asarray(uu[None] + rng.uniform(-2, 2, (b, hp, wp)).astype(np.float32) + 3.0)
+        v = jnp.asarray(vv[None] + rng.uniform(-2, 2, (b, hp, wp)).astype(np.float32) - 2.0)
+        valid_geom = jnp.asarray(rng.uniform(size=(b, hp, wp)) > 0.2)
+        jac = jnp.asarray(rng.normal(size=(b, hp, wp, 6)).astype(np.float32))
+        lam0 = jnp.full((b,), 1.0 / 25.0, jnp.float32)
+
+        # XLA reference: stack sample -> residual -> unrolled full-res
+        # t-scale -> weights -> normal equations.
+        wcfg = TWeighterConfig(scale_subsample=1, unroll_iterations=3)
+        warped, warp_ok = shift_stack_sample(
+            img, u, v, radius=4, grid_stride=s, coord_mask=valid_geom
+        )
+        valid = valid_geom & warp_ok
+        res = jnp.where(valid, warped - gray_prev, 0.0)
+        weights, lam_ref = t_distribution_weights_with_scale(
+            res * res, valid, wcfg, event_ndim=2, init_lambda=lam0
+        )
+        jac_m = jnp.where(valid[..., None], jac, 0.0)
+        ref = normal_equations(res, jac_m, weights, valid)
+        inputs = dict(
+            gray_prev=gray_prev, gray_curr=img, u=u, v=v,
+            valid_geom=valid_geom, jacobian=jac, lam0=lam0,
+            radius=4, grid_stride=s, dof=wcfg.dof, unroll=3,
+        )
+        return inputs, ref, lam_ref
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_matches_xla_pipeline(self, rng, stride):
+        from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
+            fused_shift_iteration,
         )
 
-    def test_unbatched_input(self, rng):
-        res, jac, wts, valid = _case(rng, 1, 32, 128)
-        a = normal_equations_pallas(res[0], jac[0], wts[0], valid[0], interpret=True)
-        b = normal_equations(res[0], jac[0], wts[0], valid[0])
-        _check(a, b)
-        assert a.hessian.shape == (6, 6)
+        inputs, ref, lam_ref = self._problem(rng, stride=stride)
+        hess, rhs, err, count, lam = fused_shift_iteration(
+            **inputs, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(count), np.asarray(ref.count))
+        np.testing.assert_allclose(
+            np.asarray(lam), np.asarray(lam_ref), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(err), np.asarray(ref.error), rtol=1e-4
+        )
+        scale = max(np.abs(np.asarray(ref.hessian)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(hess) / scale, np.asarray(ref.hessian) / scale,
+            atol=1e-5,
+        )
+        bscale = max(np.abs(np.asarray(ref.rhs)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(rhs) / bscale, np.asarray(ref.rhs) / bscale, atol=1e-5
+        )
 
-    def test_hessian_symmetric(self, rng):
-        case = _case(rng, 2, 32, 128, all_valid=True)
-        out = normal_equations_pallas(*case, interpret=True)
-        h = np.asarray(out.hessian)
-        np.testing.assert_allclose(h, np.swapaxes(h, -1, -2), rtol=1e-6)
+    def test_weighter_off(self, rng):
+        from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
+            fused_shift_iteration,
+        )
+        from dense_visual_odometry_tpu.ops.shiftwarp import shift_stack_sample
+
+        inputs, _, _ = self._problem(rng)
+        hess, rhs, err, count, lam = fused_shift_iteration(
+            **{**inputs, "use_tweights": False}, interpret=True
+        )
+        warped, warp_ok = shift_stack_sample(
+            inputs["gray_curr"], inputs["u"], inputs["v"], radius=4,
+            grid_stride=1, coord_mask=inputs["valid_geom"],
+        )
+        valid = inputs["valid_geom"] & warp_ok
+        res = jnp.where(valid, warped - inputs["gray_prev"], 0.0)
+        jac_m = jnp.where(valid[..., None], inputs["jacobian"], 0.0)
+        ref = normal_equations(
+            res, jac_m, valid.astype(jnp.float32), valid
+        )
+        np.testing.assert_allclose(
+            np.asarray(err), np.asarray(ref.error), rtol=1e-4
+        )
+        scale = max(np.abs(np.asarray(ref.hessian)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(hess) / scale, np.asarray(ref.hessian) / scale,
+            atol=1e-5,
+        )
+
+    def test_solver_path_fused(self):
+        """track_pair with use_fused_iteration (interpreted off-TPU)
+        recovers the same motion as the unfused Pallas-stack path."""
+        from dense_visual_odometry_tpu.camera import CameraModel
+        from dense_visual_odometry_tpu.config import (
+            RobustDVOConfig,
+            TWeighterConfig,
+        )
+        from dense_visual_odometry_tpu.models.robust import FrameData, track_pair
+        from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
+
+        h, w = 64, 96
+        k = np.array(
+            [[80.0, 0, (w - 1) / 2], [0, 80.0, (h - 1) / 2], [0, 0, 1]],
+            np.float32,
+        )
+        v, u = np.meshgrid(
+            np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64),
+            indexing="ij",
+        )
+        tex = lambda uu: (  # noqa: E731
+            120 + 50 * np.sin(2 * np.pi * uu / 23.0) + 40 * np.cos(2 * np.pi * v / 17.0)
+        )
+        tx = 0.01
+        s = 80.0 * tx / 2.0
+        g1 = tex(u).astype(np.float32)
+        g2 = tex(u - s).astype(np.float32)
+        d = np.full((h, w), 2.0, np.float32)
+
+        def fd(g):
+            return FrameData(
+                gray=pyr_ops.build_pyramid(jnp.asarray(g), 2),
+                depth_m=pyr_ops.build_pyramid(jnp.asarray(d), 2),
+            )
+
+        base = dict(
+            levels=2, max_iterations=20, shift_stack_radius=4,
+            shift_stack_levels=(0, 1), packed_sampling=True,
+            approximate_image2_gradient=True, use_weighter=True,
+            weighter=TWeighterConfig(scale_subsample=1, unroll_iterations=3),
+            lm_lambda0=1e-4, relative_tolerance=1e-2,
+        )
+        cam = CameraModel.create(k, 1.0)
+        r_ref = track_pair(
+            fd(g1), fd(g2), cam, RobustDVOConfig(**base, use_pallas_stack=True)
+        )
+        r_fused = track_pair(
+            fd(g1), fd(g2), cam,
+            RobustDVOConfig(**base, use_fused_iteration=True),
+        )
+        assert bool(r_fused.success)
+        np.testing.assert_allclose(
+            np.asarray(r_fused.transform), np.asarray(r_ref.transform),
+            atol=1e-4,
+        )
+        assert float(r_fused.transform[0, 3]) == pytest.approx(tx, abs=2e-3)
