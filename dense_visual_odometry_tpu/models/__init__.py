@@ -19,3 +19,11 @@ from dense_visual_odometry_tpu.models.slam import (  # noqa: F401
     KeyframePolicy,
     SlamSession,
 )
+from dense_visual_odometry_tpu.models.dense_ba import (  # noqa: F401
+    DenseBAConfig,
+    DenseBAData,
+    DenseBAResult,
+    build_dense_ba_data,
+    optimize_dense_ba,
+    optimize_dense_ba_sharded,
+)

@@ -63,6 +63,9 @@ def _fused_kernel(
         planes_ref, du_ref, dv_ref, gray_ref, valid_ref, jac_ref, lam_ref,
         out_ref, acc_ref,
     ):
+        # lam/out are FULL-array SMEM blocks (Mosaic requires SMEM block
+        # dims to equal the array's); this grid step owns row `bi`.
+        bi = pl.program_id(0)
         du = du_ref[0]
         dv = dv_ref[0]
         ph = planes_ref.shape[-2]
@@ -99,7 +102,7 @@ def _fused_kernel(
         count = jnp.sum(valid)
         count_safe = jnp.maximum(count, 1.0)
 
-        lam = lam_ref[0, 0]
+        lam = lam_ref[bi, 0]
         if use_tweights:
             dofc = jnp.float32(dof)
             for _ in range(unroll):
@@ -116,16 +119,16 @@ def _fused_kernel(
         for i in range(6):
             for j in range(i, 6):
                 hij = jnp.sum(jw[i] * jac_ref[0, j])
-                out_ref[0, i * 6 + j] = hij
+                out_ref[bi, i * 6 + j] = hij
                 if i != j:
-                    out_ref[0, j * 6 + i] = hij
+                    out_ref[bi, j * 6 + i] = hij
         for i in range(6):
-            out_ref[0, 36 + i] = -jnp.sum(jw[i] * res)
-        out_ref[0, 42] = jnp.sum(weights * rsq)
-        out_ref[0, 43] = count
-        out_ref[0, 44] = lam
+            out_ref[bi, 36 + i] = -jnp.sum(jw[i] * res)
+        out_ref[bi, 42] = jnp.sum(weights * rsq)
+        out_ref[bi, 43] = count
+        out_ref[bi, 44] = lam
         for k in range(45, _OUT_COLS):
-            out_ref[0, k] = 0.0
+            out_ref[bi, k] = 0.0
 
     return kernel
 
@@ -190,10 +193,12 @@ def fused_iteration_pallas(
                 (1, 6, hp, wp), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # SMEM blocks must span the full array; rows are selected by
+            # program_id inside the kernel.
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _OUT_COLS), lambda i: (i, 0), memory_space=pltpu.SMEM
+            (b, _OUT_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, _OUT_COLS), jnp.float32),
         scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
