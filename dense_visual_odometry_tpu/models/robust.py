@@ -160,7 +160,7 @@ class _LMCarry(NamedTuple):
     done: jnp.ndarray  # bool
 
 
-def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape):
+def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None):
     """Levenberg-Marquardt trust-region iteration (``cfg.lm_lambda0`` set).
 
     Differences vs the reference/GN loop (deliberate, documented in
@@ -178,7 +178,7 @@ def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape):
       an extra evaluation just to confirm convergence.
     """
     eye6 = jnp.eye(6, dtype=jnp.float32)
-    rel = cfg.relative_tolerance
+    rel = cfg.relative_tolerance if rel_eff is None else rel_eff
 
     def cond(c: _LMCarry):
         return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
@@ -334,8 +334,26 @@ def _solve_level(
     use_shift_stack = (
         cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
     )
-    if cfg.packed_sampling:
+    # Hard-motion fallback applies wherever the fast-path assumptions can
+    # break: at shift-stack levels (ball masking) and at ANY level using
+    # the precomputed Jacobian (grad I1 at unwarped coordinates is wrong
+    # once the warp is large).
+    use_fallback = cfg.shift_stack_fallback and (
+        use_shift_stack or cfg.approximate_image2_gradient
+    )
+    if cfg.packed_sampling or use_fallback:
+        # The fallback path samples through the packed-gather warp, so its
+        # inputs are prepared whenever it might run.
         gray_curr_packed = interp_ops.pack_neighbors(gray_curr)
+    if use_fallback and cfg.approximate_image2_gradient:
+        # Large-motion fallback also abandons the precomputed Jacobian:
+        # grad I1 at unwarped coordinates is simply the wrong descent
+        # direction once the warp is large, so the fallback samples exact
+        # current-image gradients (estimate-independent prep, hoisted).
+        gx2_fb, gy2_fb = grad_ops.sobel(gray_curr)
+        grads_packed_fb = interp_ops.pack_pair_f16(
+            gx2_fb / _SOBEL_GAIN, gy2_fb / _SOBEL_GAIN
+        )
     if cfg.packed_sampling or use_shift_stack:
         # Both fast paths sample gradients from the packed (gx, gy) plane.
         grads_packed = (
@@ -352,8 +370,8 @@ def _solve_level(
         and not cfg.use_depth_residuals
     )
 
-    def evaluate(estimate, prior_anchor, weight_lambda):
-        if use_fused:
+    def eval_mode(mode, estimate, prior_anchor, weight_lambda):
+        if mode == "fused":
             from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
                 fused_shift_iteration,
             )
@@ -379,7 +397,7 @@ def _solve_level(
                 rhs = rhs + inv_cov * log_old
                 err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
             return hess, rhs, err, count, photometric_hess, lam
-        if use_shift_stack:
+        if mode == "shift":
             res, jac, valid = warp_residuals_shift(
                 gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
                 grads_packed=grads_packed,
@@ -388,11 +406,18 @@ def _solve_level(
                 radius=cfg.shift_stack_radius,
                 use_pallas=cfg.use_pallas_stack,
             )
-        elif cfg.packed_sampling:
+        elif mode == "packed":
             res, jac, valid = warp_residuals_packed(
                 gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
                 grads_packed=grads_packed,
                 precomputed_jacobian=pre_jac,
+                grid_stride=stride,
+            )
+        elif mode == "packed_exact":
+            res, jac, valid = warp_residuals_packed(
+                gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
+                grads_packed=grads_packed_fb,
+                precomputed_jacobian=None,
                 grid_stride=stride,
             )
         elif pre_jac is not None:
@@ -436,9 +461,76 @@ def _solve_level(
             err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
         return hess, rhs, err, sys.count, photometric_hess, weight_lambda
 
+    shift_mode = "fused" if use_fused else "shift"
+    if use_shift_stack:
+        default_mode = shift_mode
+    elif cfg.packed_sampling:
+        default_mode = "packed"
+    else:
+        default_mode = "plain"
+
+    def fallback_trigger(estimate):
+        """-> (any_hard scalar bool, hard (...) per-element bool)."""
+        from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
+        from dense_visual_odometry_tpu.ops.shiftwarp import shift_coverage
+
+        _, u, v, valid_geom = _warp_geometry(
+            depth_prev_m, intrinsics, estimate, stride
+        )
+        radius = (
+            cfg.shift_stack_radius if cfg.shift_stack_radius is not None
+            else 4
+        )
+        cov = shift_coverage(u, v, radius, stride, coord_mask=valid_geom)
+        hard = cov < cfg.shift_fallback_min_coverage
+        if cfg.approximate_image2_gradient:
+            # Jacobian-validity trigger: recentering hides pure
+            # translation, but the precomputed Jacobian is wrong for
+            # ANY large warp — gate on raw RMS displacement.
+            hp, wp = u.shape[-2], u.shape[-1]
+            col = jnp.arange(wp, dtype=jnp.float32) * stride
+            row = jnp.arange(hp, dtype=jnp.float32) * stride
+            du = u - col[None, :]
+            dv = v - row[:, None]
+            mf = valid_geom.astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(mf, axis=(-2, -1)), 1.0)
+            rms = jnp.sqrt(
+                jnp.sum((du * du + dv * dv) * mf, axis=(-2, -1)) / denom
+            )
+            hard = hard | (rms > cfg.fallback_max_displacement)
+        return jnp.any(hard), hard
+
+    def evaluate(estimate, prior_anchor, weight_lambda):
+        if use_fallback:
+            need_fb, _ = fallback_trigger(estimate)
+            fb_mode = (
+                "packed_exact" if cfg.approximate_image2_gradient else "packed"
+            )
+            # One scalar predicate for the whole batch: mixed batches take
+            # the always-correct gather path; the common small-warp case
+            # keeps full fast-path speed.
+            return jax.lax.cond(
+                need_fb,
+                lambda args: eval_mode(fb_mode, *args),
+                lambda args: eval_mode(default_mode, *args),
+                (estimate, prior_anchor, weight_lambda),
+            )
+        return eval_mode(default_mode, estimate, prior_anchor, weight_lambda)
+
+    # Hard-motion levels get a tighter relative stop (per batch element):
+    # the aggressive early stop is an easy-sequence optimization that
+    # leaves real accuracy on the table when the solve starts far out.
+    rel_eff = cfg.relative_tolerance
+    if use_fallback and rel_eff is not None:
+        _, hard0 = fallback_trigger(estimate0)
+        rel_eff = rel_eff * jnp.where(
+            hard0, cfg.fallback_tolerance_scale, 1.0
+        )
+
     if cfg.lm_lambda0 is not None:
         final_est, final_anchor, final_wlam, diag = _lm_loop(
-            evaluate, estimate0, prior_anchor0, cfg, batch_shape
+            evaluate, estimate0, prior_anchor0, cfg, batch_shape,
+            rel_eff=rel_eff,
         )
         if want_hessian:
             hess = evaluate(final_est, final_anchor, final_wlam)[4]
@@ -469,7 +561,7 @@ def _solve_level(
         converged = jnp.abs(err_diff) < cfg.tolerance
         if cfg.relative_tolerance is not None:
             converged = converged | (
-                jnp.abs(err_diff) < cfg.relative_tolerance * jnp.abs(err)
+                jnp.abs(err_diff) < rel_eff * jnp.abs(err)
             )
         decreased = err_diff < 0.0
         active = ~c.done
@@ -532,6 +624,28 @@ def _solve_level(
     return final.estimate, diag, hess
 
 
+def _initial_photometric_error(
+    gray_prev, depth_prev_m, gray_curr, intrinsics, transform
+):
+    """Masked mean squared photometric error of a candidate transform.
+
+    Low-overlap candidates (most pixels warped out of view) are penalized
+    to +inf so a guess can't win by keeping only a handful of pixels.
+    """
+    from dense_visual_odometry_tpu.ops.interp import bilinear_sample
+    from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
+
+    _, u, v, valid_geom = _warp_geometry(depth_prev_m, intrinsics, transform)
+    val, ok = bilinear_sample(gray_curr, u, v)
+    valid = valid_geom & ok
+    res = jnp.where(valid, val - gray_prev, 0.0)
+    count = jnp.sum(valid.astype(jnp.float32), axis=(-2, -1))
+    total = jnp.sum(valid_geom.astype(jnp.float32), axis=(-2, -1))
+    err = jnp.sum(res * res, axis=(-2, -1)) / jnp.maximum(count, 1.0)
+    enough = count >= jnp.maximum(0.25 * total, 6.0)
+    return jnp.where(enough, err, jnp.finfo(jnp.float32).max)
+
+
 def track_pair(
     prev: FrameData,
     curr: FrameData,
@@ -555,6 +669,20 @@ def track_pair(
     anchor = eye if last_transform is None else jnp.broadcast_to(
         last_transform, batch_shape + (4, 4)
     )
+
+    if cfg.robust_init_selection and init_guess is not None:
+        lvl = cfg.levels - 1
+        k_coarse = camera.at(lvl)
+        err_guess = _initial_photometric_error(
+            prev.gray[lvl], prev.depth_m[lvl], curr.gray[lvl], k_coarse,
+            estimate,
+        )
+        err_eye = _initial_photometric_error(
+            prev.gray[lvl], prev.depth_m[lvl], curr.gray[lvl], k_coarse, eye
+        )
+        estimate = jnp.where(
+            (err_eye < err_guess)[..., None, None], eye, estimate
+        )
 
     diags = []
     hessian = jnp.zeros((6, 6), jnp.float32)

@@ -28,6 +28,47 @@ import jax
 import jax.numpy as jnp
 
 
+def shift_coverage(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int,
+    grid_stride: int = 1,
+    coord_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fraction of valid pixels the recentered shift ball would keep.
+
+    Same recentering math as :func:`shift_stack_sample`; returns
+    (...,) float in [0, 1] — the solver's fallback trigger: a low value
+    means the shift-stack path would silently mask away most of the
+    image (large rotation/parallax spread or mean displacement beyond
+    the recentering bound), so a gather-based warp should be used
+    instead (``RobustDVOConfig.shift_stack_fallback``).
+    """
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :]
+    dv = v - row[:, None]
+    center_bound = 4 * radius
+    if coord_mask is not None:
+        mf = coord_mask.astype(jnp.float32)
+    else:
+        mf = jnp.ones(u.shape, jnp.float32)
+    denom = jnp.maximum(jnp.sum(mf, axis=(-2, -1)), 1.0)
+    mean_du = jnp.sum(du * mf, axis=(-2, -1)) / denom
+    mean_dv = jnp.sum(dv * mf, axis=(-2, -1)) / denom
+    cu = jnp.clip(jnp.round(mean_du), -center_bound, center_bound)
+    cv = jnp.clip(jnp.round(mean_dv), -center_bound, center_bound)
+    du = du - cu[..., None, None]
+    dv = dv - cv[..., None, None]
+    in_ball = (
+        (du > -radius) & (du < radius) & (dv > -radius) & (dv < radius)
+    )
+    kept = jnp.sum(in_ball.astype(jnp.float32) * mf, axis=(-2, -1))
+    return kept / denom
+
+
 def shift_stack_sample(
     image: jnp.ndarray,
     u: jnp.ndarray,
