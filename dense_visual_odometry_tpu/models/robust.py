@@ -500,9 +500,25 @@ def _solve_level(
             hard = hard | (rms > cfg.fallback_max_displacement)
         return jnp.any(hard), hard
 
+    # The trigger is evaluated ONCE at the level's starting estimate: a
+    # level that begins easy stays on the fast path for all of its
+    # iterations (wild LM *trial* points must not flip the whole batch
+    # onto the slow path — their bad evaluations get rejected anyway),
+    # and a level that begins hard stays on the robust path throughout.
+    rel_eff = cfg.relative_tolerance
+    if use_fallback:
+        need_fb0, hard0 = fallback_trigger(estimate0)
+        if rel_eff is not None:
+            # Hard-motion levels get a tighter relative stop (per batch
+            # element): the aggressive early stop is an easy-sequence
+            # optimization that leaves real accuracy on the table when
+            # the solve starts far out.
+            rel_eff = rel_eff * jnp.where(
+                hard0, cfg.fallback_tolerance_scale, 1.0
+            )
+
     def evaluate(estimate, prior_anchor, weight_lambda):
         if use_fallback:
-            need_fb, _ = fallback_trigger(estimate)
             fb_mode = (
                 "packed_exact" if cfg.approximate_image2_gradient else "packed"
             )
@@ -510,22 +526,12 @@ def _solve_level(
             # the always-correct gather path; the common small-warp case
             # keeps full fast-path speed.
             return jax.lax.cond(
-                need_fb,
+                need_fb0,
                 lambda args: eval_mode(fb_mode, *args),
                 lambda args: eval_mode(default_mode, *args),
                 (estimate, prior_anchor, weight_lambda),
             )
         return eval_mode(default_mode, estimate, prior_anchor, weight_lambda)
-
-    # Hard-motion levels get a tighter relative stop (per batch element):
-    # the aggressive early stop is an easy-sequence optimization that
-    # leaves real accuracy on the table when the solve starts far out.
-    rel_eff = cfg.relative_tolerance
-    if use_fallback and rel_eff is not None:
-        _, hard0 = fallback_trigger(estimate0)
-        rel_eff = rel_eff * jnp.where(
-            hard0, cfg.fallback_tolerance_scale, 1.0
-        )
 
     if cfg.lm_lambda0 is not None:
         final_est, final_anchor, final_wlam, diag = _lm_loop(

@@ -80,6 +80,68 @@ class TestFit:
         # Integer-pixel matching quantizes to ~1px accuracy: 1px = 0.0167m.
         assert est_tx == pytest.approx(-int(round(s)) * Z0 / K[0, 0], abs=0.02)
 
+    def test_external_deep_matches_hook(self, rng):
+        """The LoFTR-shaped interface: inject externally produced matches
+        (as a deep matcher would, reference loftr.py:86-106) straight into
+        fit_from_matches and recover a full 6-DoF motion — no Harris/ZNCC
+        involved, subpixel float coordinates throughout."""
+        from dense_visual_odometry_tpu.models.sparse import Matches
+        from dense_visual_odometry_tpu.utils.lie import se3
+
+        n = 200
+        # Ground-truth transform: small rotation + translation.
+        xi = jnp.asarray([0.02, -0.01, 0.015, 0.01, -0.008, 0.012], jnp.float32)
+        t_gt = se3.exp(xi)
+        # Random 3-D points in front of the previous camera.
+        pts = np.stack(
+            [
+                rng.uniform(-1.0, 1.0, n),
+                rng.uniform(-0.8, 0.8, n),
+                rng.uniform(1.5, 3.0, n),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        uv_prev = np.stack(
+            [fx * pts[:, 0] / pts[:, 2] + cx, fy * pts[:, 1] / pts[:, 2] + cy],
+            axis=-1,
+        )
+        pts_t = pts @ np.asarray(t_gt)[:3, :3].T + np.asarray(t_gt)[:3, 3]
+        uv_curr = np.stack(
+            [
+                fx * pts_t[:, 0] / pts_t[:, 2] + cx,
+                fy * pts_t[:, 1] / pts_t[:, 2] + cy,
+            ],
+            axis=-1,
+        )
+        inside = (
+            (uv_prev[:, 0] > 1) & (uv_prev[:, 0] < W - 2)
+            & (uv_prev[:, 1] > 1) & (uv_prev[:, 1] < H - 2)
+            & (uv_curr[:, 0] > 1) & (uv_curr[:, 0] < W - 2)
+            & (uv_curr[:, 1] > 1) & (uv_curr[:, 1] < H - 2)
+        )
+        # Dense depth maps consistent with the points (nearest pixel).
+        depth_prev = np.zeros((H, W), np.float32)
+        depth_curr = np.zeros((H, W), np.float32)
+        for i in np.nonzero(inside)[0]:
+            depth_prev[int(round(uv_prev[i, 1])), int(round(uv_prev[i, 0]))] = pts[i, 2]
+            depth_curr[int(round(uv_curr[i, 1])), int(round(uv_curr[i, 0]))] = pts_t[i, 2]
+
+        matches = Matches(
+            uv_prev=jnp.asarray(uv_prev, jnp.float32),
+            uv_curr=jnp.asarray(uv_curr, jnp.float32),
+            confidence=jnp.ones((n,), jnp.float32),
+            valid=jnp.asarray(inside),
+        )
+        out = fit_from_matches(
+            jax.random.key(0), matches,
+            jnp.asarray(depth_prev), jnp.asarray(depth_curr), jnp.asarray(K),
+            depth_edge_tol=10.0,  # sparse synthetic depth has no edges
+        )
+        assert bool(out.success)
+        xi_est = np.asarray(se3.log(out.transform))
+        np.testing.assert_allclose(xi_est, np.asarray(xi), atol=2e-3)
+
     def test_insufficient_matches_fails(self):
         from dense_visual_odometry_tpu.models.sparse import Matches
 
