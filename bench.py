@@ -36,7 +36,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_FILE = REPO / "benchmarks" / "baseline.json"
-BATCH = 32
+BATCH = 64
 WARMUP = 1
 ITERS = 3
 WATCHDOG_S = float(os.environ.get("DVO_BENCH_WATCHDOG_S", "1500"))
@@ -85,11 +85,13 @@ def main():
     from dense_visual_odometry_tpu.models.session import OdometrySession
     from dense_visual_odometry_tpu.parallel import batched_track_pair, stack_frame_data
 
-    # TPU-tuned configuration: packed f16 tap sampling (gathers cost per
-    # index), gather-free recentered shift-stack warping at levels 0-2,
-    # per-level grid decimation, subsampled IRLS scale, capped GN
-    # iterations — measured at ATE parity with the reference-default
-    # configuration on this set (4.20 vs 4.08 mm).
+    # TPU-tuned configuration (round 2): packed f16 tap sampling,
+    # gather-free recentered shift-stack warping at levels 0-2 via the
+    # FULLY-FUSED Pallas GN-iteration kernel, per-level grid decimation,
+    # LM trust region with predictive stopping, hard-motion fallback +
+    # robust init selection (production-safe) — measured at ATE parity
+    # with the reference-default configuration on this set (4.24 vs
+    # 4.08 mm).  Batch 64 per chip = BASELINE.json config-3 shape.
     cfg = RobustDVOConfig(
         levels=4, max_iterations=12, use_weighter=True,
         packed_sampling=True, grid_strides=(2, 2, 1, 1),
@@ -99,6 +101,9 @@ def main():
         relative_tolerance=1e-2,
         lm_lambda0=1e-4,
         use_pallas_stack=True,
+        use_fused_iteration=True,
+        shift_stack_fallback=True,
+        robust_init_selection=True,
     )
     seq = load_bundled_sequence()
 

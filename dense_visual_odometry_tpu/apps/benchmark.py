@@ -46,6 +46,12 @@ def parse_args(argv=None):
                         help="force a JAX platform (default: environment's)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a device trace (XPlane) into this dir")
+    parser.add_argument("--pipeline", action="store_true",
+                        help="depth-1 pipelined stepping: dispatch frame "
+                        "k+1 before reading frame k's pose, overlapping "
+                        "host->device upload with the previous solve "
+                        "(steady-state latency of a streaming deployment; "
+                        "poses lag by one frame during the run)")
     parser.add_argument("--pyr-down", action="store_true",
                         help="track at half resolution (median-blur + "
                         "decimate, intrinsics rescaled; the reference's "
@@ -94,8 +100,9 @@ def _make_stepper(method: str, seq, cfg):
     session = OdometrySession(seq.camera, cfg)
 
     def step(rgb, depth):
-        pose = session.step(rgb, depth)
-        return np.asarray(pose.matrix, dtype=np.float64)
+        # Returns the DEVICE pose matrix (no host sync) so the caller can
+        # pipeline: the non-pipelined loop converts immediately.
+        return session.step(rgb, depth).matrix
 
     return step, dict
 
@@ -132,26 +139,38 @@ def run(args) -> dict:
         jax.profiler.start_trace(args.profile_dir)
     step, finalize = _make_stepper(args.method, seq, cfg)
 
-    poses, transforms, frame_times = [], [], []
-    prev_pose = np.eye(4)
+    pipeline = bool(getattr(args, "pipeline", False)) and args.method == "robust-dvo"
+    poses, frame_times = [], []
+    pending = None
     t_start = time.perf_counter()
     for i, (rgb, depth) in enumerate(seq.prefetched()):
         t0 = time.perf_counter()
-        pose = step(rgb, depth)
+        out = step(rgb, depth)
+        if pipeline:
+            # Depth-1 pipeline: dispatch this frame, then read the
+            # PREVIOUS frame's pose — upload/solve overlap across frames.
+            if pending is not None:
+                poses.append(np.asarray(pending, dtype=np.float64))
+            pending = out
+        else:
+            poses.append(np.asarray(out, dtype=np.float64))
         dt = time.perf_counter() - t0
         frame_times.append(dt)
-        poses.append(pose)
-        transforms.append(np.linalg.inv(pose) @ prev_pose)
-        prev_pose = pose
-        if seq.gt_poses is not None:
+        if poses and seq.gt_poses is not None:
             # Reference-style per-frame error logs (test_dvo.py:313-321).
             # gt poses are absolute; compare relative to the first frame.
-            gt_rel = np.linalg.inv(seq.gt_poses[0]) @ seq.gt_poses[i]
+            j = len(poses) - 1
+            gt_rel = np.linalg.inv(seq.gt_poses[0]) @ seq.gt_poses[j]
             terr = np.linalg.norm(poses[-1][:3, 3] - gt_rel[:3, 3])
             logger.info("frame %d: %.1f ms, trans err %.4f m", i, dt * 1e3, terr)
         else:
             logger.info("frame %d: %.1f ms", i, dt * 1e3)
+    if pending is not None:
+        poses.append(np.asarray(pending, dtype=np.float64))
     total_time = time.perf_counter() - t_start
+    transforms = [np.eye(4)]
+    for j in range(1, len(poses)):
+        transforms.append(np.linalg.inv(poses[j]) @ poses[j - 1])
     if args.profile_dir:
         jax.profiler.stop_trace()
         logger.info("device trace -> %s", args.profile_dir)
