@@ -181,6 +181,15 @@ def load_slam_session(path, slam):
             for k, keep in enumerate(retained)
         ]
     slam._keyframe = slam._kf_frames[-1] if slam._kf_frames else None
+    # Place-recognition descriptors are derived state: recompute from the
+    # retained pyramids (evicted keyframes get a zero descriptor — they
+    # are retention-gated out of candidate search anyway).
+    from dense_visual_odometry_tpu.models.slam import _frame_descriptor
+
+    slam._kf_desc = [
+        np.zeros(96) if fd is None else np.asarray(_frame_descriptor(fd.gray[-1]))
+        for fd in slam._kf_frames
+    ]
     return slam
 
 

@@ -48,17 +48,26 @@ class KeyframePolicy:
     max_rotation: float = 0.15  # radians vs the keyframe
     min_valid_ratio: float = 0.5  # valid px at finest level / at keyframe time
     window: int = 8  # BA window length (keyframes)
-    # Loop closure: when a new keyframe lands within ``loop_radius`` meters
-    # and ``loop_angle`` radians of a past keyframe at least
-    # ``loop_min_gap`` keyframes back, verify the pair with a dense
-    # alignment seeded from the current estimate; accept as a graph edge if
-    # the solve succeeds with mean photometric error <= ``loop_max_error``.
+    # Loop closure: a past keyframe (at least ``loop_min_gap`` keyframes
+    # back, FrameData still retained) becomes a candidate when EITHER it
+    # lies within ``loop_radius`` meters and ``loop_angle`` radians of the
+    # new keyframe's pose, OR (``place_recognition``) its appearance
+    # descriptor — a pooled, zero-mean, L2-normalized coarse-level
+    # thumbnail, so the dot product is a ZNCC score — matches with
+    # similarity >= ``loop_min_similarity``.  Appearance matching finds
+    # loops the pose gate misses once odometry has drifted.  Candidates
+    # are ranked by similarity and the top ``loop_max_candidates`` are
+    # dense-verified in ONE batched tracker call (fixed batch shape =
+    # one compiled program); a verified pair becomes a graph edge if the
+    # solve succeeds with mean photometric error <= ``loop_max_error``.
     loop_closure: bool = True
     loop_radius: float = 0.5
     loop_angle: float = 0.5
     loop_min_gap: int = 3
     loop_max_error: float = 400.0
     loop_max_candidates: int = 2  # dense verifications per new keyframe
+    place_recognition: bool = True
+    loop_min_similarity: float = 0.90  # ZNCC descriptor score gate
     max_stored_keyframes: int = 64  # FrameData retained for loop checks
     # Redescending robust kernel threshold for BA edges (Mahalanobis
     # units); None = quadratic.  Loop closures are dense-verified before
@@ -89,6 +98,7 @@ class SlamSession:
 
         self._keyframe: Optional[FrameData] = None
         self._kf_frames: List[Optional[FrameData]] = []  # retained for loops
+        self._kf_desc: List[np.ndarray] = []  # place-recognition descriptors
         self._kf_valid_count: float = 0.0
         # Keyframe graph state (host lists; poses are small).
         self.keyframe_poses: List[np.ndarray] = []  # camera-to-world, 4x4
@@ -124,6 +134,7 @@ class SlamSession:
         self.keyframe_indices.append(self._frame_idx)
         self._keyframe = fd
         self._kf_frames.append(fd)
+        self._kf_desc.append(np.asarray(_frame_descriptor(fd.gray[-1])))
         if len(self._kf_frames) > self.policy.max_stored_keyframes:
             # Drop the oldest retained FrameData (poses/edges are kept).
             self._kf_frames[len(self._kf_frames) - self.policy.max_stored_keyframes - 1] = None
@@ -135,42 +146,90 @@ class SlamSession:
             if len(self.keyframe_poses) >= 3:
                 self._optimize_window()
 
-    def _try_loop_closures(self, kf_id: int, fd: FrameData) -> None:
-        """Dense-verify loop candidates near the new keyframe's pose and
-        add accepted relative-pose edges to the graph."""
+    def _loop_candidates(self, kf_id: int):
+        """-> list of (similarity, j, rel) loop candidates, best first.
+
+        Vectorized over ALL eligible past keyframes: pose proximity and
+        descriptor similarity are both O(K) numpy array ops on pose-sized
+        data, not per-keyframe device calls — host cost stays negligible
+        at hundreds of keyframes.
+        """
         pose_k = self.keyframe_poses[kf_id]
-        candidates = []
-        for j in range(0, kf_id - self.policy.loop_min_gap + 1):
-            if j >= len(self._kf_frames) or self._kf_frames[j] is None:
+        js = np.asarray(
+            [
+                j
+                for j in range(0, kf_id - self.policy.loop_min_gap + 1)
+                if j < len(self._kf_frames) and self._kf_frames[j] is not None
+            ],
+            np.int64,
+        )
+        if js.size == 0:
+            return []
+        poses_j = np.stack([self.keyframe_poses[j] for j in js])
+        rel = np.linalg.inv(poses_j) @ pose_k  # pose of k in each j
+        dist = np.linalg.norm(rel[:, :3, 3], axis=-1)
+        ang = np.arccos(
+            np.clip((np.trace(rel[:, :3, :3], axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+        )
+        sim = np.stack([self._kf_desc[j] for j in js]) @ self._kf_desc[kf_id]
+        near = (dist <= self.policy.loop_radius) & (ang <= self.policy.loop_angle)
+        eligible = near
+        if self.policy.place_recognition:
+            # Appearance catches revisits the (drifted) pose gate misses.
+            eligible = eligible | (sim >= self.policy.loop_min_similarity)
+        order = np.argsort(-sim)
+        return [
+            (float(sim[l]), int(js[l]), rel[l])
+            for l in order
+            if eligible[l]
+        ][: self.policy.loop_max_candidates]
+
+    def _try_loop_closures(self, kf_id: int, fd: FrameData) -> None:
+        """Dense-verify loop candidates (pose-proximate or
+        appearance-matched) and add accepted relative-pose edges.
+
+        All candidates are verified in ONE batched tracker call with a
+        fixed batch shape (``loop_max_candidates``, padded by repeating
+        the first candidate) — one compiled program, one host
+        round-trip, instead of a synchronous per-candidate solve loop.
+        """
+        candidates = self._loop_candidates(kf_id)
+        if not candidates:
+            return
+        from dense_visual_odometry_tpu.parallel.batched import (
+            batched_track_pair,
+            stack_frame_data,
+        )
+
+        cap = self.policy.loop_max_candidates
+        padded = candidates + [candidates[0]] * (cap - len(candidates))
+        # Dense alignment keyframe_j -> keyframe_k, seeded at the current
+        # estimate: transform maps cam_j points into cam_k, and
+        # rel = X_j^-1 X_k is the pose of k in j => transform ~= rel^-1.
+        init = jnp.asarray(
+            np.stack([np.linalg.inv(rel) for _, _, rel in padded]), jnp.float32
+        )
+        prev_b = stack_frame_data([self._kf_frames[j] for _, j, _ in padded])
+        curr_b = jax.tree.map(lambda x: jnp.stack([x] * cap), fd)
+        result = batched_track_pair(
+            prev_b, curr_b, self._intrinsics, self.config,
+            init_guess=init, last_transform=init,
+        )
+        success = np.asarray(result.success)
+        errs = np.asarray(result.diagnostics.error[-1], np.float64)
+        transforms = np.asarray(result.transform, np.float64)
+        hessians = np.asarray(result.hessian, np.float64)
+        for b, (_, j, _) in enumerate(candidates):
+            if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
                 continue
-            rel = np.linalg.inv(self.keyframe_poses[j]) @ pose_k
-            dist = float(np.linalg.norm(rel[:3, 3]))
-            ang = float(
-                np.arccos(np.clip((np.trace(rel[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))
-            )
-            if dist <= self.policy.loop_radius and ang <= self.policy.loop_angle:
-                candidates.append((dist, j, rel))
-        candidates.sort(key=lambda c: c[0])
-        for _, j, rel in candidates[: self.policy.loop_max_candidates]:
-            # Dense alignment keyframe_j -> keyframe_k, seeded at the
-            # current estimate: transform maps cam_j points into cam_k, and
-            # rel = X_j^-1 X_k is the pose of k in j => transform ~= rel^-1.
-            init = jnp.asarray(np.linalg.inv(rel).astype(np.float32))
-            result = self._tracker(
-                self._kf_frames[j], fd, self._intrinsics,
-                init_guess=init, last_transform=init,
-            )
-            err = float(result.diagnostics.error[-1])
-            if bool(result.success) and err <= self.policy.loop_max_error:
-                info = np.asarray(result.hessian, dtype=np.float64)
-                if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
-                    info = np.eye(6)
-                meas = np.linalg.inv(np.asarray(result.transform, np.float64))
-                self._edges_i.append(j)
-                self._edges_j.append(kf_id)
-                self._edges_meas.append(meas)
-                self._edges_info.append(info)
-                self.loop_closures.append((j, kf_id, err))
+            info = hessians[b]
+            if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
+                info = np.eye(6)
+            self._edges_i.append(j)
+            self._edges_j.append(kf_id)
+            self._edges_meas.append(np.linalg.inv(transforms[b]))
+            self._edges_info.append(info)
+            self.loop_closures.append((j, kf_id, float(errs[b])))
 
     def _optimize_window(self):
         """Windowed BA with STATIC shapes: poses padded to the window
@@ -326,6 +385,19 @@ class SlamSession:
     @property
     def num_keyframes(self) -> int:
         return len(self.keyframe_poses)
+
+
+@functools.partial(jax.jit, static_argnames=("dh", "dw"))
+def _frame_descriptor(gray_coarse: jnp.ndarray, dh: int = 8, dw: int = 12):
+    """Global appearance descriptor for place recognition: the coarsest
+    gray pyramid level pooled to a fixed (dh, dw) thumbnail, zero-meaned
+    and L2-normalized — so a dot product between descriptors is a ZNCC
+    score in [-1, 1].  96 floats per keyframe: pose-sized host traffic,
+    and candidate scoring against K stored descriptors is one (K, 96)
+    matvec."""
+    d = jax.image.resize(gray_coarse, (dh, dw), method="linear").reshape(-1)
+    d = d - jnp.mean(d)
+    return d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
