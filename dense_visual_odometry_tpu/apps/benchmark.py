@@ -52,6 +52,11 @@ def parse_args(argv=None):
                         "host->device upload with the previous solve "
                         "(steady-state latency of a streaming deployment; "
                         "poses lag by one frame during the run)")
+    parser.add_argument("--sparse-matcher", type=str, default="zncc",
+                        choices=["zncc", "learned"],
+                        help="matcher for -m sparse: classical Harris+ZNCC "
+                        "or the LoFTR-lite learned coarse matcher "
+                        "(models/matcher.py, committed weights)")
     parser.add_argument("--pyr-down", action="store_true",
                         help="track at half resolution (median-blur + "
                         "decimate, intrinsics rescaled; the reference's "
@@ -61,7 +66,7 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _make_stepper(method: str, seq, cfg):
+def _make_stepper(method: str, seq, cfg, sparse_matcher: str = "zncc"):
     """-> (step(rgb, depth) -> (4,4) np pose, finalize() -> extra dict)."""
     import numpy as np
 
@@ -86,7 +91,7 @@ def _make_stepper(method: str, seq, cfg):
 
         from dense_visual_odometry_tpu.models.sparse import SparseVO
 
-        vo = SparseVO(seq.camera)
+        vo = SparseVO(seq.camera, matcher=sparse_matcher)
 
         def step(rgb, depth):
             gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32)
@@ -137,7 +142,9 @@ def run(args) -> dict:
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
-    step, finalize = _make_stepper(args.method, seq, cfg)
+    step, finalize = _make_stepper(
+        args.method, seq, cfg, getattr(args, "sparse_matcher", "zncc")
+    )
 
     pipeline = bool(getattr(args, "pipeline", False)) and args.method == "robust-dvo"
     poses, frame_times = [], []

@@ -113,10 +113,16 @@ def match_patches(
     patch: int = 7,
     search: int = 12,
     min_zncc: float = 0.6,
+    centers_curr: Optional[jnp.ndarray] = None,
 ) -> Matches:
     """ZNCC template matching of ``patch`` x ``patch`` windows around each
     previous-frame corner against a (2*search+1)^2 window in the current
     frame.  Fully vectorized: one (K, P^2) x (K, S^2, P^2) correlation.
+
+    ``centers_curr`` recenters each search window at a predicted
+    current-frame location (e.g. a learned coarse match) instead of the
+    corner's own coordinates — the fine stage of a coarse-to-fine
+    matcher.
     """
     half = patch // 2
     k = corners_prev.shape[0]
@@ -135,6 +141,10 @@ def match_patches(
     search_off = jnp.stack([sx.ravel(), sy.ravel()], axis=-1)  # (S^2, 2)
 
     c = jnp.round(corners_prev).astype(jnp.int32)  # (K, 2) (u, v)
+    cc = (
+        c if centers_curr is None
+        else jnp.round(centers_curr).astype(jnp.int32)
+    )  # search-window centers in the current frame
 
     def take(img, uv):
         u = jnp.clip(uv[..., 0], 0, w - 1)
@@ -148,7 +158,7 @@ def match_patches(
     tpl_norm = jnp.sqrt(jnp.sum(tpl * tpl, axis=-1) + 1e-6)
 
     # Candidate patches: (K, S^2, P^2)
-    cand_uv = c[:, None, None, :] + search_off[None, :, None, :] + patch_off[None, None, :, :]
+    cand_uv = cc[:, None, None, :] + search_off[None, :, None, :] + patch_off[None, None, :, :]
     cand = take(gray_curr, cand_uv)
     cand = cand - cand.mean(axis=-1, keepdims=True)
     cand_norm = jnp.sqrt(jnp.sum(cand * cand, axis=-1) + 1e-6)
@@ -192,7 +202,7 @@ def match_patches(
     subpixel = jnp.stack([sub_dx, sub_dy], axis=-1)
 
     uv_curr = (
-        c.astype(jnp.float32) + search_off[best].astype(jnp.float32) + subpixel
+        cc.astype(jnp.float32) + search_off[best].astype(jnp.float32) + subpixel
     )
     in_bounds = (
         (uv_curr[:, 0] >= half) & (uv_curr[:, 0] < w - half)
@@ -415,17 +425,43 @@ class SparseVO:
     subpixel ZNCC peaks and motion-only reprojection refinement.
     """
 
-    def __init__(self, camera: CameraModel, seed: int = 0, **kwargs):
+    def __init__(
+        self,
+        camera: CameraModel,
+        seed: int = 0,
+        matcher: str = "zncc",
+        matcher_weights=None,
+        **kwargs,
+    ):
+        """``matcher``: "zncc" (Harris + ZNCC, default) or "learned"
+        (LoFTR-lite coarse network + ZNCC fine stage,
+        :mod:`dense_visual_odometry_tpu.models.matcher`;
+        ``matcher_weights`` overrides the committed checkpoint path)."""
         self.camera = camera
-        kwargs = {"num_corners": 1024, "depth_edge_tol": 0.03, **kwargs}
-        self._kwargs = kwargs
         self._key = jax.random.key(seed)
         self._prev: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._pose = jnp.eye(4, dtype=jnp.float32)
         self.last_result: Optional[SparseResult] = None
-        self._jit_track = jax.jit(
-            lambda key, gp, dp, gc, dc, k: track_sparse(key, gp, dp, gc, dc, k, **kwargs)
-        )
+        if matcher == "learned":
+            from dense_visual_odometry_tpu.models import matcher as matcher_mod
+
+            params = matcher_mod.load_params(
+                matcher_weights if matcher_weights is not None
+                else matcher_mod.DEFAULT_WEIGHTS
+            )
+            kwargs = {"depth_edge_tol": 0.03, **kwargs}
+            self._kwargs = kwargs
+            self._jit_track = jax.jit(
+                lambda key, gp, dp, gc, dc, k: matcher_mod.track_sparse_learned(
+                    key, params, gp, dp, gc, dc, k, **kwargs
+                )
+            )
+        else:
+            kwargs = {"num_corners": 1024, "depth_edge_tol": 0.03, **kwargs}
+            self._kwargs = kwargs
+            self._jit_track = jax.jit(
+                lambda key, gp, dp, gc, dc, k: track_sparse(key, gp, dp, gc, dc, k, **kwargs)
+            )
 
     def step(self, gray, depth_raw):
         from dense_visual_odometry_tpu.ops.pyramid import preprocess_depth
