@@ -57,6 +57,11 @@ def parse_args(argv=None):
                         help="matcher for -m sparse: classical Harris+ZNCC "
                         "or the LoFTR-lite learned coarse matcher "
                         "(models/matcher.py, committed weights)")
+    parser.add_argument("--host-gray", action="store_true",
+                        help="convert RGB to uint8 gray on the HOST before "
+                        "upload (reference uint8-gray semantics; ~40% "
+                        "smaller per-frame payload — the lever when the "
+                        "host->device link, not compute, bounds latency)")
     parser.add_argument("--pyr-down", action="store_true",
                         help="track at half resolution (median-blur + "
                         "decimate, intrinsics rescaled; the reference's "
@@ -66,7 +71,10 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _make_stepper(method: str, seq, cfg, sparse_matcher: str = "zncc"):
+def _make_stepper(
+    method: str, seq, cfg, sparse_matcher: str = "zncc",
+    host_gray: bool = False,
+):
     """-> (step(rgb, depth) -> (4,4) np pose, finalize() -> extra dict)."""
     import numpy as np
 
@@ -103,6 +111,16 @@ def _make_stepper(method: str, seq, cfg, sparse_matcher: str = "zncc"):
     from dense_visual_odometry_tpu.models.session import OdometrySession
 
     session = OdometrySession(seq.camera, cfg)
+
+    if host_gray:
+        from dense_visual_odometry_tpu.io.datasets import host_gray_u8
+
+        def step(rgb, depth):
+            # Upload-bound streaming mode: gray conversion on host cuts
+            # the per-frame payload ~40% (uint8 gray + uint16 depth).
+            return session.step(host_gray_u8(rgb), depth).matrix
+
+        return step, dict
 
     def step(rgb, depth):
         # Returns the DEVICE pose matrix (no host sync) so the caller can
@@ -143,7 +161,8 @@ def run(args) -> dict:
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     step, finalize = _make_stepper(
-        args.method, seq, cfg, getattr(args, "sparse_matcher", "zncc")
+        args.method, seq, cfg, getattr(args, "sparse_matcher", "zncc"),
+        host_gray=bool(getattr(args, "host_gray", False)),
     )
 
     pipeline = bool(getattr(args, "pipeline", False)) and args.method == "robust-dvo"

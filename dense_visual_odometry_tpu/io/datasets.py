@@ -46,6 +46,24 @@ def _imread_depth(path: Path) -> np.ndarray:
     return img
 
 
+def host_gray_u8(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 luma as uint8, computed on the HOST.
+
+    Streaming deployments over a narrow host<->device link (the axon
+    tunnel moves ~45 MB/s) are upload-bound: converting to gray before
+    upload cuts the per-frame payload from 1.54 MB (u8 RGB + u16 depth)
+    to 0.92 MB.  Fixed-point rounding matches cv2.cvtColor's, i.e. the
+    uint8 grayscale the reference feeds its solver
+    (``base_dense_visual_odometry.py:58``).
+    """
+    if rgb.ndim == 2:
+        return rgb
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((4899 * r + 9617 * g + 1868 * b + 8192) >> 14).astype(np.uint8)
+
+
 def _tum_pose(tx, ty, tz, qx, qy, qz, qw) -> np.ndarray:
     """TUM translation + xyzw quaternion -> 4x4 camera-to-world matrix."""
     q = np.array([qw, qx, qy, qz], dtype=np.float64)

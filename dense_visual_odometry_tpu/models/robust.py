@@ -52,6 +52,7 @@ from dense_visual_odometry_tpu.ops import interp as interp_ops
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.ops.residuals import (
     approximate_jacobian,
+    approximate_jacobian_planes,
     depth_residuals,
     normal_equations,
     warp_residuals,
@@ -298,19 +299,44 @@ def _solve_level(
     """
     batch_shape = estimate0.shape[:-2]
     stride = cfg.stride_for_level(level)
+    use_shift_stack = (
+        cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
+    )
+    use_fused = (
+        use_shift_stack
+        and cfg.use_fused_iteration
+        and cfg.approximate_image2_gradient
+        and not cfg.use_depth_residuals
+    )
     # Estimate-independent work hoisted out of the GN loop (the reference's
     # _setup, cpu_robust_dense_visual_odometry.py:54-77).
     if cfg.approximate_image2_gradient:
         gx1, gy1 = grad_ops.sobel(gray_prev)
-        pre_jac = approximate_jacobian(
-            gray_prev, depth_prev_m, intrinsics,
-            gx1 / _SOBEL_GAIN, gy1 / _SOBEL_GAIN,
-        )
         grads = None
+        if use_fused:
+            # The fused kernel consumes 6 LEADING Jacobian planes on the
+            # strided grid.  Building them directly skips both the
+            # trailing-6 -> planes relayout (a 6-wide minor axis tiles at
+            # ~95% padding on TPU; the transpose costs more than the
+            # kernel itself) and the full-res work the stride discards.
+            pre_jac = None
+            pre_jac_planes = approximate_jacobian_planes(
+                depth_prev_m[..., ::stride, ::stride], intrinsics,
+                (gx1 / _SOBEL_GAIN)[..., ::stride, ::stride],
+                (gy1 / _SOBEL_GAIN)[..., ::stride, ::stride],
+                grid_stride=stride,
+            )
+        else:
+            pre_jac = approximate_jacobian(
+                gray_prev, depth_prev_m, intrinsics,
+                gx1 / _SOBEL_GAIN, gy1 / _SOBEL_GAIN,
+            )
+            pre_jac_planes = None
     else:
         gx2, gy2 = grad_ops.sobel(gray_curr)
         grads = (gx2 / _SOBEL_GAIN, gy2 / _SOBEL_GAIN)
         pre_jac = None
+        pre_jac_planes = None
 
     if cfg.use_depth_residuals:
         gzx, gzy = grad_ops.sobel(depth_prev_m)
@@ -331,9 +357,6 @@ def _solve_level(
                 grads_z[1][..., ::stride, ::stride],
             )
 
-    use_shift_stack = (
-        cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
-    )
     # Hard-motion fallback applies wherever the fast-path assumptions can
     # break: at shift-stack levels (ball masking) and at ANY level using
     # the precomputed Jacobian (grad I1 at unwarped coordinates is wrong
@@ -363,13 +386,6 @@ def _solve_level(
     use_prior = cfg.sigma is not None
     inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
 
-    use_fused = (
-        use_shift_stack
-        and cfg.use_fused_iteration
-        and pre_jac is not None
-        and not cfg.use_depth_residuals
-    )
-
     def eval_mode(mode, estimate, prior_anchor, weight_lambda):
         if mode == "fused":
             from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
@@ -381,8 +397,9 @@ def _solve_level(
                 depth_prev_m, intrinsics, estimate, stride
             )
             hess, rhs, err, count, lam = fused_shift_iteration(
-                gray_prev, gray_curr, u, v, valid_geom, pre_jac,
-                weight_lambda,
+                gray_prev, gray_curr, u, v, valid_geom,
+                jacobian_planes=pre_jac_planes,
+                lam0=weight_lambda,
                 radius=cfg.shift_stack_radius,
                 grid_stride=stride,
                 dof=cfg.weighter.dof,
@@ -636,18 +653,26 @@ def _solve_level(
 
 
 def _initial_photometric_error(
-    gray_prev, depth_prev_m, gray_curr, intrinsics, transform
+    gray_prev, depth_prev_m, gray_curr_packed, intrinsics, transform,
+    grid_stride: int = 1,
 ):
     """Masked mean squared photometric error of a candidate transform.
 
     Low-overlap candidates (most pixels warped out of view) are penalized
     to +inf so a guess can't win by keeping only a handful of pixels.
+    ``gray_curr_packed`` is a :func:`~ops.interp.pack_neighbors` plane:
+    sampling through the f16 pair plane costs 2 gathers/pixel instead of
+    4 — gathers are priced per index on TPU and this warp of the coarsest
+    level is pure selection logic, so half-precision taps are free
+    accuracy-wise.
     """
-    from dense_visual_odometry_tpu.ops.interp import bilinear_sample
+    from dense_visual_odometry_tpu.ops.interp import bilinear_sample_packed
     from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
 
-    _, u, v, valid_geom = _warp_geometry(depth_prev_m, intrinsics, transform)
-    val, ok = bilinear_sample(gray_curr, u, v)
+    _, u, v, valid_geom = _warp_geometry(
+        depth_prev_m, intrinsics, transform, grid_stride
+    )
+    val, ok = bilinear_sample_packed(gray_curr_packed, u, v)
     valid = valid_geom & ok
     res = jnp.where(valid, val - gray_prev, 0.0)
     count = jnp.sum(valid.astype(jnp.float32), axis=(-2, -1))
@@ -682,14 +707,20 @@ def track_pair(
     )
 
     if cfg.robust_init_selection and init_guess is not None:
+        # Candidate scoring is pure selection logic — a stride-2 grid of
+        # the coarsest level (~1200 px) ranks candidates as reliably as
+        # the full grid at 1/4 the gather cost (TPU gathers are priced
+        # per index).
         lvl = cfg.levels - 1
         k_coarse = camera.at(lvl)
+        packed_coarse = interp_ops.pack_neighbors(curr.gray[lvl])
+        gp_sel = prev.gray[lvl][..., ::2, ::2]
+        dp_sel = prev.depth_m[lvl][..., ::2, ::2]
         err_guess = _initial_photometric_error(
-            prev.gray[lvl], prev.depth_m[lvl], curr.gray[lvl], k_coarse,
-            estimate,
+            gp_sel, dp_sel, packed_coarse, k_coarse, estimate, grid_stride=2
         )
         err_eye = _initial_photometric_error(
-            prev.gray[lvl], prev.depth_m[lvl], curr.gray[lvl], k_coarse, eye
+            gp_sel, dp_sel, packed_coarse, k_coarse, eye, grid_stride=2
         )
         estimate = jnp.where(
             (err_eye < err_guess)[..., None, None], eye, estimate

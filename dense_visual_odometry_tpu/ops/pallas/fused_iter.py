@@ -212,25 +212,33 @@ def fused_shift_iteration(
     u: jnp.ndarray,
     v: jnp.ndarray,
     valid_geom: jnp.ndarray,
-    jacobian: jnp.ndarray,
-    lam0: jnp.ndarray,
-    radius: int,
+    jacobian: jnp.ndarray | None = None,
+    lam0: jnp.ndarray = None,
+    radius: int = 4,
     grid_stride: int = 1,
     dof: float = 5.0,
     unroll: int = 3,
     use_tweights: bool = True,
     normalize_scale: bool = True,
     interpret: bool = False,
+    jacobian_planes: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused photometric GN iteration at a shift-stack level.
 
     gray_prev (..., H', W') template; gray_curr (..., H, W) current image;
     u, v (..., H', W') warp coordinates; valid_geom (..., H', W') bool;
     jacobian (..., H', W', 6) precomputed; lam0 (...) warm IRLS lambda.
+    ``jacobian_planes`` (..., 6, H', W') may be passed INSTEAD of
+    ``jacobian`` — the kernel consumes planes, and relaying a trailing-6
+    array out to planes costs more than the kernel itself (the 6-wide
+    minor axis tiles at ~95% padding); producers on the hot path should
+    build planes directly (``ops.residuals.approximate_jacobian_planes``).
 
     Returns (hessian (..., 6, 6), rhs (..., 6), error_mean (...),
     count (...), lam (...)).
     """
+    if (jacobian is None) == (jacobian_planes is None):
+        raise ValueError("pass exactly one of jacobian / jacobian_planes")
     if jax.default_backend() != "tpu":
         interpret = True
     squeeze = gray_curr.ndim == 2
@@ -238,7 +246,11 @@ def fused_shift_iteration(
         gray_prev, gray_curr, u, v = (
             gray_prev[None], gray_curr[None], u[None], v[None]
         )
-        valid_geom, jacobian = valid_geom[None], jacobian[None]
+        valid_geom = valid_geom[None]
+        if jacobian is not None:
+            jacobian = jacobian[None]
+        else:
+            jacobian_planes = jacobian_planes[None]
         lam0 = jnp.asarray(lam0)[None]
     batch_shape = gray_curr.shape[:-2]
     if len(batch_shape) != 1:
@@ -247,8 +259,14 @@ def fused_shift_iteration(
         gray_prev = flat(gray_prev)
         gray_curr = flat(gray_curr)
         u, v = flat(u), flat(v)
-        valid_geom, jacobian = flat(valid_geom), flat(jacobian)
+        valid_geom = flat(valid_geom)
+        if jacobian is not None:
+            jacobian = flat(jacobian)
+        else:
+            jacobian_planes = flat(jacobian_planes)
         lam0 = jnp.broadcast_to(lam0, batch_shape).reshape(-1)
+    if jacobian_planes is None:
+        jacobian_planes = jnp.moveaxis(jacobian, -1, 1)
 
     planes, du, dv, valid = prepare_shift_stack(
         gray_curr, u, v, radius=radius, grid_stride=grid_stride,
@@ -259,7 +277,7 @@ def fused_shift_iteration(
         planes, du, dv,
         gray_prev.astype(jnp.float32),
         valid.astype(jnp.float32),
-        jnp.moveaxis(jacobian, -1, 1).astype(jnp.float32),
+        jacobian_planes.astype(jnp.float32),
         jnp.asarray(lam0, jnp.float32).reshape(-1, 1),
         radius=radius, grid_stride=grid_stride, dof=dof, unroll=unroll,
         use_tweights=use_tweights, normalize_scale=normalize_scale,
