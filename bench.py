@@ -102,6 +102,7 @@ def main():
         lm_lambda0=1e-4,
         use_pallas_stack=True,
         use_fused_iteration=True,
+        freeze_shift_window=True,
         shift_stack_fallback=True,
         robust_init_selection=True,
     )

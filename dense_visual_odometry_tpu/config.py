@@ -149,6 +149,16 @@ class RobustDVOConfig:
     # unrolled steps.  Levels outside ``shift_stack_levels``, the motion
     # prior, and depth residuals use the regular paths.
     use_fused_iteration: bool = False
+    # Freeze the recentered shift window at each LEVEL's starting
+    # estimate (fused path only).  Per-evaluation recentering re-extracts
+    # the (H+2r, W+2r) window (pad + dynamic-slice + parity split — three
+    # full-image HBM passes) even though the integer center moves
+    # subpixel within a level; freezing extracts once per level and each
+    # iteration pays only the displacement math.  Pixels drifting past
+    # the frozen ball's edge are masked invalid exactly like any
+    # out-of-ball pixel, and the coverage fallback trigger still guards
+    # hard motion at level start.
+    freeze_shift_window: bool = False
     # Levenberg-Marquardt trust-region mode (north-star "Gauss-Newton/
     # Levenberg-Marquardt").  None = plain Gauss-Newton with the
     # reference's exact stopping semantics.  A value enables LM:

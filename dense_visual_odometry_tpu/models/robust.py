@@ -406,6 +406,7 @@ def _solve_level(
                 unroll=cfg.weighter.unroll_iterations or 3,
                 use_tweights=cfg.use_weighter,
                 normalize_scale=cfg.weighter.normalize_scale,
+                frozen=frozen_win,
             )
             photometric_hess = hess
             if use_prior:
@@ -528,6 +529,40 @@ def _solve_level(
     # onto the slow path — their bad evaluations get rejected anyway),
     # and a level that begins hard stays on the robust path throughout.
     rel_eff = cfg.relative_tolerance
+    frozen_win = None
+    if use_fused and cfg.freeze_shift_window:
+        # Window extraction (pad + dynamic-slice + parity split) depends
+        # on the estimate only through the INTEGER recentering offsets,
+        # which move subpixel within a level: extract once at the level's
+        # starting estimate and let every iteration reuse the planes.
+        # (XLA CSEs this geometry evaluation with the fallback trigger's.)
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            compute_recenter,
+            extract_parity_planes,
+        )
+        from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
+
+        _, u0, v0, vg0 = _warp_geometry(
+            depth_prev_m, intrinsics, estimate0, stride
+        )
+        radius0 = cfg.shift_stack_radius
+        cu0, cv0 = compute_recenter(u0, v0, radius0, stride, vg0)
+        hp0, wp0 = u0.shape[-2], u0.shape[-1]
+        if batch_shape:
+            gflat = gray_curr.reshape((-1,) + gray_curr.shape[-2:])
+            planes0 = extract_parity_planes(
+                gflat,
+                jnp.broadcast_to(cu0, batch_shape).reshape(-1),
+                jnp.broadcast_to(cv0, batch_shape).reshape(-1),
+                hp0, wp0, radius0, stride,
+            )
+            planes0 = planes0.reshape(batch_shape + planes0.shape[1:])
+        else:
+            planes0 = extract_parity_planes(
+                gray_curr[None], cu0[None], cv0[None],
+                hp0, wp0, radius0, stride,
+            )[0]
+        frozen_win = (planes0, cu0, cv0)
     if use_fallback:
         need_fb0, hard0 = fallback_trigger(estimate0)
         if rel_eff is not None:
@@ -707,20 +742,22 @@ def track_pair(
     )
 
     if cfg.robust_init_selection and init_guess is not None:
-        # Candidate scoring is pure selection logic — a stride-2 grid of
-        # the coarsest level (~1200 px) ranks candidates as reliably as
-        # the full grid at 1/4 the gather cost (TPU gathers are priced
-        # per index).
+        # Candidate scoring samples through packed f16 taps (2 gathers per
+        # pixel, bit-equal ranking to f32 — measured) but on the FULL
+        # coarsest grid: a stride-2 subsample flips marginal eye-vs-guess
+        # decisions on rotation-heavy motion (~2-3% score bias on ~1200
+        # px), which is exactly the regime this selector exists to
+        # protect.  At the ~80x60 coarsest level the gathers are
+        # microseconds either way; the cost is per-call fixed overhead.
         lvl = cfg.levels - 1
         k_coarse = camera.at(lvl)
         packed_coarse = interp_ops.pack_neighbors(curr.gray[lvl])
-        gp_sel = prev.gray[lvl][..., ::2, ::2]
-        dp_sel = prev.depth_m[lvl][..., ::2, ::2]
         err_guess = _initial_photometric_error(
-            gp_sel, dp_sel, packed_coarse, k_coarse, estimate, grid_stride=2
+            prev.gray[lvl], prev.depth_m[lvl], packed_coarse, k_coarse,
+            estimate,
         )
         err_eye = _initial_photometric_error(
-            gp_sel, dp_sel, packed_coarse, k_coarse, eye, grid_stride=2
+            prev.gray[lvl], prev.depth_m[lvl], packed_coarse, k_coarse, eye
         )
         estimate = jnp.where(
             (err_eye < err_guess)[..., None, None], eye, estimate

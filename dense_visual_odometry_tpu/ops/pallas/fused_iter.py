@@ -42,7 +42,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dense_visual_odometry_tpu.ops.pallas.stackwarp import prepare_shift_stack
+from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+    prepare_shift_stack,
+    residual_displacements,
+)
 
 # SMEM output row layout per batch element:
 #   [0:36)  H row-major | [36:42) b | 42 err_sum | 43 count | 44 lambda
@@ -222,6 +225,9 @@ def fused_shift_iteration(
     normalize_scale: bool = True,
     interpret: bool = False,
     jacobian_planes: jnp.ndarray | None = None,
+    frozen: (
+        Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None
+    ) = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused photometric GN iteration at a shift-stack level.
 
@@ -233,6 +239,14 @@ def fused_shift_iteration(
     array out to planes costs more than the kernel itself (the 6-wide
     minor axis tiles at ~95% padding); producers on the hot path should
     build planes directly (``ops.residuals.approximate_jacobian_planes``).
+
+    ``frozen`` = (planes (..., s^2, ph, pw), cu (...,), cv (...,)) skips
+    the per-call recentering + window extraction + parity split: the
+    caller extracted the window ONCE (e.g. at the level's starting
+    estimate) and every iteration reuses it, paying only the displacement
+    math.  The estimate's drift within a level is subpixel, so the frozen
+    ball loses only pixels that were already at the ball boundary (they
+    are masked invalid exactly like any out-of-ball pixel).
 
     Returns (hessian (..., 6, 6), rhs (..., 6), error_mean (...),
     count (...), lam (...)).
@@ -252,6 +266,8 @@ def fused_shift_iteration(
         else:
             jacobian_planes = jacobian_planes[None]
         lam0 = jnp.asarray(lam0)[None]
+        if frozen is not None:
+            frozen = tuple(jnp.asarray(x)[None] for x in frozen)
     batch_shape = gray_curr.shape[:-2]
     if len(batch_shape) != 1:
         # Flatten arbitrary leading dims onto the kernel grid.
@@ -265,13 +281,27 @@ def fused_shift_iteration(
         else:
             jacobian_planes = flat(jacobian_planes)
         lam0 = jnp.broadcast_to(lam0, batch_shape).reshape(-1)
+        if frozen is not None:
+            fp, fcu, fcv = frozen
+            frozen = (
+                fp.reshape((-1,) + fp.shape[len(batch_shape):]),
+                jnp.broadcast_to(fcu, batch_shape).reshape(-1),
+                jnp.broadcast_to(fcv, batch_shape).reshape(-1),
+            )
     if jacobian_planes is None:
         jacobian_planes = jnp.moveaxis(jacobian, -1, 1)
 
-    planes, du, dv, valid = prepare_shift_stack(
-        gray_curr, u, v, radius=radius, grid_stride=grid_stride,
-        coord_mask=valid_geom,
-    )
+    if frozen is not None:
+        planes, cu, cv = frozen
+        du, dv, valid = residual_displacements(
+            u, v, cu, cv, radius, grid_stride,
+            gray_curr.shape[-2], gray_curr.shape[-1],
+        )
+    else:
+        planes, du, dv, valid = prepare_shift_stack(
+            gray_curr, u, v, radius=radius, grid_stride=grid_stride,
+            coord_mask=valid_geom,
+        )
     valid = valid & valid_geom
     out = fused_iteration_pallas(
         planes, du, dv,

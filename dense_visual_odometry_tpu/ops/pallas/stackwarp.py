@@ -119,6 +119,115 @@ def stack_accumulate_pallas(
     )(planes, du, dv)
 
 
+def compute_recenter(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int,
+    grid_stride: int = 1,
+    coord_mask: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Integer recentering offsets (cu, cv) absorbing the mean displacement.
+
+    u, v (..., H', W') -> (...,) int32 each, clipped to +-4*radius.
+    """
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :]
+    dv = v - row[:, None]
+    center_bound = 4 * radius
+    if coord_mask is not None:
+        mf = coord_mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(mf, axis=(-2, -1)), 1.0)
+        mean_du = jnp.sum(du * mf, axis=(-2, -1)) / denom
+        mean_dv = jnp.sum(dv * mf, axis=(-2, -1)) / denom
+    else:
+        mean_du = jnp.mean(du, axis=(-2, -1))
+        mean_dv = jnp.mean(dv, axis=(-2, -1))
+    cu = jnp.clip(jnp.round(mean_du), -center_bound, center_bound).astype(jnp.int32)
+    cv = jnp.clip(jnp.round(mean_dv), -center_bound, center_bound).astype(jnp.int32)
+    return cu, cv
+
+
+def residual_displacements(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    cu: jnp.ndarray,
+    cv: jnp.ndarray,
+    radius: int,
+    grid_stride: int,
+    image_h: int,
+    image_w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Center-relative displacements + validity for a GIVEN recentering.
+
+    -> (du, dv (..., H', W') f32, valid bool).  Validity = inside the
+    shift ball around (cu, cv) AND bilinear-in-bounds in the source image.
+    """
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :] - cu[..., None, None].astype(jnp.float32)
+    dv = v - row[:, None] - cv[..., None, None].astype(jnp.float32)
+    in_ball = (du > -radius) & (du < radius) & (dv > -radius) & (dv < radius)
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    in_bounds = (
+        (x0 >= 0) & (y0 >= 0) & (x0 + 1 <= image_w - 1) & (y0 + 1 <= image_h - 1)
+    )
+    return du, dv, in_ball & in_bounds
+
+
+def extract_parity_planes(
+    image: jnp.ndarray,
+    cu: jnp.ndarray,
+    cv: jnp.ndarray,
+    grid_hp: int,
+    grid_wp: int,
+    radius: int,
+    grid_stride: int = 1,
+) -> jnp.ndarray:
+    """Recentered window extraction + parity split for the stack kernels.
+
+    image (B, H, W), cu/cv (B,) int32 -> planes (B, s^2, ph, pw) f32 with
+    ``window[a + s*i, b + s*j] == plane[a % s * s + b % s][a//s + i, b//s + j]``
+    and window[p + k] == image[p + c + k] for k in [-radius, radius].
+    """
+    s = grid_stride
+    center_bound = 4 * radius
+    img = image.astype(jnp.float32)
+    pad = radius + center_bound
+    padded = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad)])
+    # Window over the FULL-RES support of the strided grid.
+    win_h = (grid_hp - 1) * s + 1 + 2 * radius
+    win_w = (grid_wp - 1) * s + 1 + 2 * radius
+    window = jax.vmap(
+        lambda im, sy, sx: jax.lax.dynamic_slice(
+            im, (center_bound + sy, center_bound + sx), (win_h, win_w)
+        )
+    )(padded, cv, cu)
+
+    # Parity planes: plane[p*s+q][m, n] = window[s*m + p, s*n + q].
+    # Plane extent must cover q_max + hp with q_max = 2r // s.
+    ph = (2 * radius) // s + grid_hp
+    pw = (2 * radius) // s + grid_wp
+    plane_pad_h = ph * s - win_h + s
+    plane_pad_w = pw * s - win_w + s
+    window = jnp.pad(
+        window, [(0, 0), (0, max(plane_pad_h, 0)), (0, max(plane_pad_w, 0))]
+    )
+    return jnp.stack(
+        [
+            window[:, p::s, q::s][:, :ph, :pw]
+            for p in range(s)
+            for q in range(s)
+        ],
+        axis=1,
+    )
+
+
 def prepare_shift_stack(
     image: jnp.ndarray,
     u: jnp.ndarray,
@@ -139,62 +248,12 @@ def prepare_shift_stack(
         raise ValueError("grid_stride must be 1 or 2 for the pallas path")
     h, w = image.shape[-2], image.shape[-1]
     hp, wp = u.shape[-2], u.shape[-1]
-    s = grid_stride
-    img = image.astype(jnp.float32)
-
-    col = jnp.arange(wp, dtype=jnp.float32) * s
-    row = jnp.arange(hp, dtype=jnp.float32) * s
-    du = u - col[None, :]
-    dv = v - row[:, None]
-
-    center_bound = 4 * radius
-    if coord_mask is not None:
-        mf = coord_mask.astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(mf, axis=(-2, -1)), 1.0)
-        mean_du = jnp.sum(du * mf, axis=(-2, -1)) / denom
-        mean_dv = jnp.sum(dv * mf, axis=(-2, -1)) / denom
-    else:
-        mean_du = jnp.mean(du, axis=(-2, -1))
-        mean_dv = jnp.mean(dv, axis=(-2, -1))
-    cu = jnp.clip(jnp.round(mean_du), -center_bound, center_bound).astype(jnp.int32)
-    cv = jnp.clip(jnp.round(mean_dv), -center_bound, center_bound).astype(jnp.int32)
-    du = du - cu[..., None, None].astype(jnp.float32)
-    dv = dv - cv[..., None, None].astype(jnp.float32)
-
-    in_ball = (du > -radius) & (du < radius) & (dv > -radius) & (dv < radius)
-    x0 = jnp.floor(u)
-    y0 = jnp.floor(v)
-    in_bounds = (x0 >= 0) & (y0 >= 0) & (x0 + 1 <= w - 1) & (y0 + 1 <= h - 1)
-    valid = in_ball & in_bounds
-
-    pad = radius + center_bound
-    padded = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad)])
-    # Window: window[p + k] == image[p + c + k] for k in [-r, r], where p
-    # runs over the FULL-RES support of the strided grid.
-    win_h = (hp - 1) * s + 1 + 2 * radius
-    win_w = (wp - 1) * s + 1 + 2 * radius
-    window = jax.vmap(
-        lambda im, sy, sx: jax.lax.dynamic_slice(
-            im, (center_bound + sy, center_bound + sx), (win_h, win_w)
-        )
-    )(padded, cv, cu)
-
-    # Parity planes: plane[p*s+q][m, n] = window[s*m + p, s*n + q].
-    # Plane extent must cover q_max + hp with q_max = 2r // s.
-    ph = (2 * radius) // s + hp
-    pw = (2 * radius) // s + wp
-    plane_pad_h = ph * s - win_h + s
-    plane_pad_w = pw * s - win_w + s
-    window = jnp.pad(
-        window, [(0, 0), (0, max(plane_pad_h, 0)), (0, max(plane_pad_w, 0))]
+    cu, cv = compute_recenter(u, v, radius, grid_stride, coord_mask)
+    du, dv, valid = residual_displacements(
+        u, v, cu, cv, radius, grid_stride, h, w
     )
-    planes = jnp.stack(
-        [
-            window[:, p::s, q::s][:, :ph, :pw]
-            for p in range(s)
-            for q in range(s)
-        ],
-        axis=1,
+    planes = extract_parity_planes(
+        image, cu, cv, hp, wp, radius, grid_stride
     )
     return planes, du, dv, valid
 

@@ -162,6 +162,34 @@ class TestFusedIterationKernel:
             np.asarray(rhs) / bscale, np.asarray(ref.rhs) / bscale, atol=1e-5
         )
 
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_frozen_window_matches(self, rng, stride):
+        """Passing a pre-extracted (planes, cu, cv) window reproduces the
+        per-call extraction exactly when frozen at the same coordinates."""
+        from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
+            fused_shift_iteration,
+        )
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            compute_recenter,
+            extract_parity_planes,
+        )
+
+        inputs, _, _ = self._problem(rng, stride=stride)
+        ref = fused_shift_iteration(**inputs, interpret=True)
+        u, v, vg = inputs["u"], inputs["v"], inputs["valid_geom"]
+        hp, wp = u.shape[-2], u.shape[-1]
+        cu, cv = compute_recenter(u, v, inputs["radius"], stride, vg)
+        planes = extract_parity_planes(
+            inputs["gray_curr"], cu, cv, hp, wp, inputs["radius"], stride
+        )
+        froz = fused_shift_iteration(
+            **inputs, frozen=(planes, cu, cv), interpret=True
+        )
+        for a, b in zip(ref, froz):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
+
     def test_weighter_off(self, rng):
         from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
             fused_shift_iteration,
@@ -247,3 +275,20 @@ class TestFusedIterationKernel:
             atol=1e-4,
         )
         assert float(r_fused.transform[0, 3]) == pytest.approx(tx, abs=2e-3)
+
+        # Level-start frozen window: same solve, window extracted once per
+        # level instead of per evaluation.
+        import dataclasses
+
+        r_frozen = track_pair(
+            fd(g1), fd(g2), cam,
+            dataclasses.replace(
+                RobustDVOConfig(**base, use_fused_iteration=True),
+                freeze_shift_window=True,
+            ),
+        )
+        assert bool(r_frozen.success)
+        np.testing.assert_allclose(
+            np.asarray(r_frozen.transform), np.asarray(r_fused.transform),
+            atol=1e-4,
+        )
