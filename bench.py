@@ -96,7 +96,7 @@ def main():
         levels=4, max_iterations=12, use_weighter=True,
         packed_sampling=True, grid_strides=(2, 2, 1, 1),
         weighter=TWeighterConfig(scale_subsample=4),
-        shift_stack_radius=4, shift_stack_levels=(0, 1, 2),
+        shift_stack_radius=3, shift_stack_levels=(0, 1, 2),
         approximate_image2_gradient=True,
         relative_tolerance=1e-2,
         lm_lambda0=1e-4,
