@@ -134,6 +134,11 @@ def save_slam_session(path, slam) -> Path:
         "kf_retained": np.asarray(
             [fd is not None for fd in slam._kf_frames], bool
         ),
+        "active_kf": np.asarray(slam._active_kf),
+        "lost_count": np.asarray(slam._lost_count),
+        "relocalizations": np.asarray(
+            slam.relocalizations, np.int64
+        ).reshape(-1, 2),
     }
     for k, fd in enumerate(slam._kf_frames):
         if fd is not None:
@@ -180,7 +185,20 @@ def load_slam_session(path, slam):
             _frame_from_arrays(f"kf{k}", levels, data) if keep else None
             for k, keep in enumerate(retained)
         ]
-    slam._keyframe = slam._kf_frames[-1] if slam._kf_frames else None
+        # Recovery state (absent in pre-relocalization checkpoints).
+        if "active_kf" in data.files:
+            slam._active_kf = int(data["active_kf"])
+            slam._lost_count = int(data["lost_count"])
+            slam.relocalizations = [
+                (int(f), int(j)) for f, j in data["relocalizations"]
+            ]
+        else:
+            slam._active_kf = len(slam._kf_frames) - 1
+            slam._lost_count = 0
+            slam.relocalizations = []
+    slam._keyframe = (
+        slam._kf_frames[slam._active_kf] if slam._kf_frames else None
+    )
     # Place-recognition descriptors are derived state: recompute from the
     # retained pyramids (evicted keyframes get a zero descriptor — they
     # are retention-gated out of candidate search anyway).

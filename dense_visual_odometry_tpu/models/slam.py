@@ -73,6 +73,23 @@ class KeyframePolicy:
     # units); None = quadratic.  Loop closures are dense-verified before
     # insertion, so this is a second line of defence.
     ba_robust_delta: Optional[float] = None
+    # Tracking-loss gate: a solve whose final mean photometric error
+    # exceeds this counts as LOST even when the solver reports success
+    # (a geometrically-finite estimate with enough pixels can still be a
+    # wrong alignment — the reference's success flag cannot see that).
+    # A lost frame freezes the pose (the reference's "trying luck on
+    # next frame", base_dense_visual_odometry.py:75-86).  None disables.
+    track_max_error: Optional[float] = None
+    # Relocalization (failure recovery): after more than
+    # ``relocalize_after`` consecutive lost frames, match the frame's
+    # appearance descriptor against ALL stored keyframes and
+    # dense-verify the best candidates in one batched call (same
+    # machinery as loop closure); success re-anchors tracking at the
+    # matched keyframe.  Gives the session a way back after occlusion /
+    # wild motion instead of tracking against a stale keyframe forever.
+    relocalize: bool = True
+    relocalize_after: int = 3
+    relocalize_min_similarity: float = 0.80
 
 
 class SlamSession:
@@ -116,6 +133,12 @@ class SlamSession:
         self._last_inc = np.eye(4)  # last frame-to-frame motion (init guess)
         self._frame_idx = 0
         self.last_result = None
+        # Failure recovery: the ACTIVE keyframe is normally the latest
+        # promoted one, but relocalization can re-anchor at any retained
+        # keyframe.
+        self._active_kf = -1
+        self._lost_count = 0
+        self.relocalizations: List[tuple] = []  # (frame_idx, keyframe_id)
 
     # -- internals ---------------------------------------------------------
     def _valid_count(self, fd: FrameData) -> float:
@@ -125,8 +148,11 @@ class SlamSession:
         """Make ``fd`` the keyframe with pose ``world_pose``."""
         kf_id = len(self.keyframe_poses)
         if measured_from_prev_kf is not None:
+            # The odometry edge connects the keyframe the measurement was
+            # tracked AGAINST — normally the previous promotion, but a
+            # relocalization can have re-anchored tracking elsewhere.
             meas, info = measured_from_prev_kf
-            self._edges_i.append(kf_id - 1)
+            self._edges_i.append(self._active_kf)
             self._edges_j.append(kf_id)
             self._edges_meas.append(meas)
             self._edges_info.append(info)
@@ -140,6 +166,7 @@ class SlamSession:
             self._kf_frames[len(self._kf_frames) - self.policy.max_stored_keyframes - 1] = None
         self._kf_valid_count = self._valid_count(fd)
         self._rel_to_kf = np.eye(4)
+        self._active_kf = kf_id
         if measured_from_prev_kf is not None:
             if self.policy.loop_closure:
                 self._try_loop_closures(kf_id, fd)
@@ -231,6 +258,66 @@ class SlamSession:
             self._edges_info.append(info)
             self.loop_closures.append((j, kf_id, float(errs[b])))
 
+    def _relocalize(self, fd: FrameData) -> bool:
+        """Appearance-based recovery after sustained tracking loss.
+
+        Scores the frame's descriptor against ALL retained keyframes (one
+        (K, 96) matvec), dense-verifies the best candidates from an
+        identity init in ONE batched tracker call (the same fixed batch
+        shape as loop verification, so the compiled program is shared),
+        and re-anchors tracking at the best verified keyframe.
+        """
+        js = [
+            j
+            for j in range(len(self._kf_frames))
+            if self._kf_frames[j] is not None
+        ]
+        if not js:
+            return False
+        desc = np.asarray(_frame_descriptor(fd.gray[-1]))
+        sims = np.stack([self._kf_desc[j] for j in js]) @ desc
+        order = np.argsort(-sims)
+        cand = [
+            (float(sims[l]), js[l])
+            for l in order
+            if sims[l] >= self.policy.relocalize_min_similarity
+        ][: self.policy.loop_max_candidates]
+        if not cand:
+            return False
+        from dense_visual_odometry_tpu.parallel.batched import (
+            batched_track_pair,
+            stack_frame_data,
+        )
+
+        cap = self.policy.loop_max_candidates
+        padded = cand + [cand[0]] * (cap - len(cand))
+        eye_b = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (cap, 4, 4))
+        prev_b = stack_frame_data([self._kf_frames[j] for _, j in padded])
+        curr_b = jax.tree.map(lambda x: jnp.stack([x] * cap), fd)
+        result = batched_track_pair(
+            prev_b, curr_b, self._intrinsics, self.config,
+            init_guess=eye_b, last_transform=eye_b,
+        )
+        success = np.asarray(result.success)
+        errs = np.asarray(result.diagnostics.error[-1], np.float64)
+        transforms = np.asarray(result.transform, np.float64)
+        best = None
+        for b, (_, j) in enumerate(cand):
+            if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
+                continue
+            if best is None or errs[b] < errs[best[0]]:
+                best = (b, j)
+        if best is None:
+            return False
+        b, j = best
+        self._active_kf = j
+        self._keyframe = self._kf_frames[j]
+        self._kf_valid_count = self._valid_count(self._keyframe)
+        self._rel_to_kf = np.linalg.inv(transforms[b])
+        self._last_inc = np.eye(4)
+        self.relocalizations.append((self._frame_idx, j))
+        return True
+
     def _optimize_window(self):
         """Windowed BA with STATIC shapes: poses padded to the window
         length (identity-information padding), edges padded to a fixed
@@ -314,17 +401,30 @@ class SlamSession:
         self.last_result = result
         success = bool(result.success)
         transform = np.asarray(result.transform, dtype=np.float64)
+        if success and self.policy.track_max_error is not None:
+            final_err = float(np.asarray(result.diagnostics.error[-1]))
+            # A finite estimate over enough pixels can still be a wrong
+            # alignment; the residual level says so.
+            success = final_err <= self.policy.track_max_error
 
-        kf_pose = self.keyframe_poses[-1]
         if success:
+            self._lost_count = 0
             prev_rel = self._rel_to_kf
             rel = np.linalg.inv(transform)  # keyframe -> frame pose
             self._last_inc = np.linalg.inv(rel) @ prev_rel  # frame motion
             self._rel_to_kf = rel
-        world = kf_pose @ self._rel_to_kf
+        else:
+            self._lost_count += 1
+            if (
+                self.policy.relocalize
+                and self._lost_count > self.policy.relocalize_after
+                and self._relocalize(fd)
+            ):
+                self._lost_count = 0
+        world = self.keyframe_poses[self._active_kf] @ self._rel_to_kf
 
         self.frame_poses.append(world)
-        self._frame_kf.append(len(self.keyframe_poses) - 1)
+        self._frame_kf.append(self._active_kf)
         self._frame_rel.append(self._rel_to_kf.copy())
 
         if success and self._needs_keyframe(fd, transform):
