@@ -40,7 +40,7 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from dense_visual_odometry_tpu.config import RobustDVOConfig, TWeighterConfig
+    from dense_visual_odometry_tpu.config import RobustDVOConfig
     from dense_visual_odometry_tpu.io import load_bundled_sequence
     from dense_visual_odometry_tpu.models.robust import (
         _SOBEL_GAIN,
@@ -63,19 +63,8 @@ def main() -> None:
         stack_frame_data,
     )
 
-    cfg = RobustDVOConfig(
-        levels=4, max_iterations=12, use_weighter=True,
-        packed_sampling=True, grid_strides=(2, 2, 1, 1),
-        weighter=TWeighterConfig(scale_subsample=4),
-        shift_stack_radius=4, shift_stack_levels=(0, 1, 2),
-        approximate_image2_gradient=True,
-        relative_tolerance=1e-2,
-        lm_lambda0=1e-4,
-        use_pallas_stack=True,
-        use_fused_iteration=True,
-        shift_stack_fallback=True,
-        robust_init_selection=True,
-    )
+    # The SHIPPED configuration (stays in sync with the bench + CLI).
+    cfg = RobustDVOConfig.from_json(REPO / "configs" / "tpu_fast.json")
 
     seq = load_bundled_sequence()
     pre = jax.jit(
