@@ -207,14 +207,22 @@ def main() -> None:
         return acc
 
     def init_selection(s):
+        # Mirrors the product path: box-filtered half-res scoring.
+        from dense_visual_odometry_tpu.models.robust import _box2
+
         lvl = cfg.levels - 1
         gp, dp, gc, kl = lvl_data(lvl)
-        packed = interp_ops.pack_neighbors(gc)
-        gps, dps = gp[..., ::2, ::2], dp[..., ::2, ::2]
-        e1 = _initial_photometric_error(
-            gps, dps + s * 0, packed, kl, eye, grid_stride=2
+        gps = _box2(gp)
+        hs, ws = gps.shape[-2], gps.shape[-1]
+        dps = dp[..., ::2, ::2][..., :hs, :ws]
+        packed = interp_ops.pack_neighbors(_box2(gc))
+        half = jnp.asarray(
+            [[0.5, 0.0, -0.25], [0.0, 0.5, -0.25], [0.0, 0.0, 1.0]],
+            jnp.float32,
         )
-        e2 = _initial_photometric_error(gps, dps, packed, kl, eye, grid_stride=2)
+        k_half = half @ kl
+        e1 = _initial_photometric_error(gps, dps + s * 0, packed, k_half, eye)
+        e2 = _initial_photometric_error(gps, dps, packed, k_half, eye)
         return e1.sum() * 1e-30 + e2.sum() * 1e-30
 
     timed("prep: sobel+jacobian (4 lvls)", sobel_jac_all)
