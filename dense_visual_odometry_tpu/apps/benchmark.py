@@ -67,13 +67,17 @@ def parse_args(argv=None):
                         "decimate, intrinsics rescaled; the reference's "
                         "pyr_down option, which crashed there — "
                         "SURVEY quirk #6)")
+    parser.add_argument("--dense-refine", action="store_true",
+                        help="SLAM only: after the run, refine retained "
+                        "keyframes with dense photometric BA (joint pose "
+                        "+ inverse depth, Schur-eliminated on device)")
     parser.add_argument("-v", "--verbose", action="store_true")
     return parser.parse_args(argv)
 
 
 def _make_stepper(
     method: str, seq, cfg, sparse_matcher: str = "zncc",
-    host_gray: bool = False,
+    host_gray: bool = False, dense_refine: bool = False,
 ):
     """-> (step(rgb, depth) -> (4,4) np pose, finalize() -> extra dict)."""
     import numpy as np
@@ -87,10 +91,15 @@ def _make_stepper(
             return np.asarray(slam.step(rgb, depth).matrix, dtype=np.float64)
 
         def finalize():
-            return {
-                "keyframes": slam.num_keyframes,
-                "optimized_poses": slam.optimized_trajectory(),
-            }
+            extra = {"keyframes": slam.num_keyframes}
+            if dense_refine:
+                # Pose graph first (loop-closure consistency), then the
+                # dense photometric pass over retained keyframes.
+                slam.optimize_full()
+                result = slam.refine_dense()
+                extra["dense_refined"] = result is not None
+            extra["optimized_poses"] = slam.optimized_trajectory()
+            return extra
 
         return step, finalize
 
@@ -163,6 +172,7 @@ def run(args) -> dict:
     step, finalize = _make_stepper(
         args.method, seq, cfg, getattr(args, "sparse_matcher", "zncc"),
         host_gray=bool(getattr(args, "host_gray", False)),
+        dense_refine=bool(getattr(args, "dense_refine", False)),
     )
 
     pipeline = bool(getattr(args, "pipeline", False)) and args.method == "robust-dvo"

@@ -474,6 +474,71 @@ class SlamSession:
             for g in range(len(self.keyframe_poses)):
                 self.keyframe_poses[g] = optimized[g]
 
+    def refine_dense(
+        self,
+        grid_stride: int = 8,
+        window: int = 2,
+        config=None,
+    ):
+        """Dense refinement pass: joint pose + inverse-depth BA over all
+        RETAINED keyframes (models/dense_ba.py — photometric residuals on
+        a subsampled grid, depth blocks Schur-eliminated on device).
+
+        Beyond the index-window photometric edges, every accepted loop
+        closure whose endpoints are both retained is added to the target
+        table, so the dense pass is loop-aware.  Keyframe world poses are
+        updated in place (re-anchored to the pre-refinement first pose so
+        the world frame is untouched); returns the
+        :class:`~dense_visual_odometry_tpu.models.dense_ba.DenseBAResult`.
+        """
+        from dense_visual_odometry_tpu.models.dense_ba import (
+            DenseBAConfig,
+            build_dense_ba_data,
+            optimize_dense_ba,
+        )
+
+        ks = [k for k, fd in enumerate(self._kf_frames) if fd is not None]
+        if len(ks) < 2:
+            return None
+        pos_of = {k: i for i, k in enumerate(ks)}
+        grays = [np.asarray(self._kf_frames[k].gray[0]) for k in ks]
+        depths = [np.asarray(self._kf_frames[k].depth_m[0]) for k in ks]
+        poses0 = np.stack([self.keyframe_poses[k] for k in ks])
+
+        # Index-window targets + retained loop-closure pairs.
+        n = len(ks)
+        rows = [
+            {t for t in range(o - window, o + window + 1) if t != o and 0 <= t < n}
+            for o in range(n)
+        ]
+        for j, k, _err in self.loop_closures:
+            if j in pos_of and k in pos_of:
+                rows[pos_of[j]].add(pos_of[k])
+                rows[pos_of[k]].add(pos_of[j])
+        m = max(len(r) for r in rows)
+        targets = np.full((n, m), -1, np.int64)
+        for o, r in enumerate(rows):
+            targets[o, : len(r)] = sorted(r)
+
+        data = build_dense_ba_data(
+            grays, depths, np.asarray(self._intrinsics),
+            grid_stride=grid_stride, window=window, targets=targets,
+        )
+        result = optimize_dense_ba(
+            jnp.asarray(poses0, jnp.float32), data,
+            config or DenseBAConfig(),
+        )
+        refined = np.asarray(result.poses, np.float64)
+        if not np.all(np.isfinite(refined)):
+            return result
+        # Keep the world frame: re-anchor to the pre-refinement first pose
+        # (the gauge prior holds it, this removes any residual drift).
+        align = poses0[0] @ np.linalg.inv(refined[0])
+        refined = np.einsum("ij,njk->nik", align, refined)
+        for i, k in enumerate(ks):
+            self.keyframe_poses[k] = refined[i]
+        return result
+
     def optimized_trajectory(self) -> np.ndarray:
         """(N, 4, 4) world poses for every frame, re-anchored to the
         BA-optimized keyframe poses."""
