@@ -175,6 +175,28 @@ class RobustDVOConfig:
     lm_up: float = 4.0
     lm_down: float = 0.5
     lm_lambda_max: float = 1e5
+    # ESM-style gradients (Benhimane & Malis): the precomputed Jacobian
+    # uses 0.5 * (grad I1(x) + grad I2(w0(x))) instead of grad I1 alone,
+    # where w0 is each LEVEL's starting warp.  The averaged gradient is
+    # second-order accurate at the solution, cutting iterations where the
+    # pure inverse-compositional approximation converges only linearly.
+    # Cost model (why this stays on the fast path): the Jacobian remains
+    # level-start-constant, so per-iteration cost is unchanged; at
+    # fused+frozen-window levels the warped image falls out of the
+    # already-extracted window planes via one extra gather-free tap sweep,
+    # and elsewhere grad I2 is one packed nearest-gather pass per level.
+    # Requires ``approximate_image2_gradient``; with
+    # ``use_fused_iteration`` also requires ``freeze_shift_window``.
+    # MEASURED (benchmarks/RESULTS.md): a win only at levels whose
+    # starting estimate is already near the solution — at coarse levels
+    # the averaged gradient mixes in wrong-position samples and costs
+    # iterations; restrict with ``esm_levels``.
+    use_esm_gradients: bool = False
+    # Pyramid levels at which ESM averaging applies (None = all levels).
+    # Fine levels inherit a converged coarse estimate, where the
+    # level-start warped gradient is accurate; coarse levels start far
+    # out, where it is not.
+    esm_levels: Optional[Tuple[int, ...]] = None
     # Beyond-reference: add geometric (depth) residuals to the photometric
     # objective: cost = sum w r_I^2 + depth_weight * sum huber(r_z)^2 with
     # r_z in meters.  Makes motion observable in low-texture scenes; the
@@ -205,6 +227,19 @@ class RobustDVOConfig:
             raise ValueError("lm_lambda0 must be positive or None")
         if self.lm_up <= 1.0 or not (0.0 < self.lm_down < 1.0):
             raise ValueError("need lm_up > 1 and 0 < lm_down < 1")
+        if self.use_esm_gradients:
+            if not self.approximate_image2_gradient:
+                raise ValueError(
+                    "use_esm_gradients requires approximate_image2_gradient "
+                    "(ESM averages the precomputed template gradient with "
+                    "the level-start warped gradient)"
+                )
+            if self.use_fused_iteration and not self.freeze_shift_window:
+                raise ValueError(
+                    "use_esm_gradients with use_fused_iteration requires "
+                    "freeze_shift_window (the warped image is derived from "
+                    "the frozen window planes)"
+                )
         if self.grid_strides is not None:
             # JSON gives a list; coerce so the config stays hashable.
             object.__setattr__(self, "grid_strides", tuple(self.grid_strides))
@@ -215,6 +250,8 @@ class RobustDVOConfig:
         object.__setattr__(
             self, "shift_stack_levels", tuple(self.shift_stack_levels)
         )
+        if self.esm_levels is not None:
+            object.__setattr__(self, "esm_levels", tuple(self.esm_levels))
 
     @classmethod
     def from_dict(cls, data: dict) -> "RobustDVOConfig":

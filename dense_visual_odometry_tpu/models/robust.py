@@ -308,6 +308,11 @@ def _solve_level(
         and cfg.approximate_image2_gradient
         and not cfg.use_depth_residuals
     )
+    use_esm = (
+        cfg.use_esm_gradients
+        and cfg.approximate_image2_gradient
+        and (cfg.esm_levels is None or level in cfg.esm_levels)
+    )
     # Estimate-independent work hoisted out of the GN loop (the reference's
     # _setup, cpu_robust_dense_visual_odometry.py:54-77).
     if cfg.approximate_image2_gradient:
@@ -320,16 +325,42 @@ def _solve_level(
             # ~95% padding on TPU; the transpose costs more than the
             # kernel itself) and the full-res work the stride discards.
             pre_jac = None
-            pre_jac_planes = approximate_jacobian_planes(
-                depth_prev_m[..., ::stride, ::stride], intrinsics,
-                (gx1 / _SOBEL_GAIN)[..., ::stride, ::stride],
-                (gy1 / _SOBEL_GAIN)[..., ::stride, ::stride],
-                grid_stride=stride,
-            )
+            g1x_s = (gx1 / _SOBEL_GAIN)[..., ::stride, ::stride]
+            g1y_s = (gy1 / _SOBEL_GAIN)[..., ::stride, ::stride]
+            if use_esm:
+                pre_jac_planes = None  # built from the frozen window below
+            else:
+                pre_jac_planes = approximate_jacobian_planes(
+                    depth_prev_m[..., ::stride, ::stride], intrinsics,
+                    g1x_s, g1y_s, grid_stride=stride,
+                )
         else:
+            g1x = gx1 / _SOBEL_GAIN
+            g1y = gy1 / _SOBEL_GAIN
+            if use_esm:
+                # ESM: average with grad I2 sampled ONCE per level at the
+                # starting warp (nearest through the packed f16 pair
+                # plane: 1 gather/pixel; gradients are smooth, the same
+                # trade packed_sampling makes for its gradient taps).
+                from dense_visual_odometry_tpu.ops.residuals import (
+                    _warp_geometry,
+                )
+
+                gx2e, gy2e = grad_ops.sobel(gray_curr)
+                packed_g2 = interp_ops.pack_pair_f16(
+                    gx2e / _SOBEL_GAIN, gy2e / _SOBEL_GAIN
+                )
+                _, u0f, v0f, vg0f = _warp_geometry(
+                    depth_prev_m, intrinsics, estimate0, 1
+                )
+                g2x, g2y, ok2 = interp_ops.nearest_sample_packed(
+                    packed_g2, u0f, v0f
+                )
+                okm = vg0f & ok2
+                g1x = jnp.where(okm, 0.5 * (g1x + g2x), g1x)
+                g1y = jnp.where(okm, 0.5 * (g1y + g2y), g1y)
             pre_jac = approximate_jacobian(
-                gray_prev, depth_prev_m, intrinsics,
-                gx1 / _SOBEL_GAIN, gy1 / _SOBEL_GAIN,
+                gray_prev, depth_prev_m, intrinsics, g1x, g1y,
             )
             pre_jac_planes = None
     else:
@@ -563,6 +594,51 @@ def _solve_level(
                 hp0, wp0, radius0, stride,
             )[0]
         frozen_win = (planes0, cu0, cv0)
+        if use_esm:
+            # ESM (fused path): the warped current image at the level's
+            # starting estimate falls out of the ALREADY-extracted frozen
+            # window via one extra gather-free tap sweep; its Sobel
+            # gradient (= grad I2 at the warp, chain-ruled through an
+            # approximately-identity dw/dx) is averaged with the template
+            # gradient and baked into the level-constant Jacobian planes.
+            from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+                residual_displacements,
+                stack_accumulate_pallas,
+            )
+
+            du0, dv0, vball0 = residual_displacements(
+                u0, v0, cu0, cv0, radius0, stride,
+                gray_curr.shape[-2], gray_curr.shape[-1],
+            )
+            val0 = vball0 & vg0
+            interp_mode = jax.default_backend() != "tpu"
+            if batch_shape:
+                acc0 = stack_accumulate_pallas(
+                    planes0.reshape((-1,) + planes0.shape[len(batch_shape):]),
+                    du0.reshape((-1,) + du0.shape[-2:]),
+                    dv0.reshape((-1,) + dv0.shape[-2:]),
+                    radius0, grid_stride=stride, interpret=interp_mode,
+                ).reshape(du0.shape)
+            else:
+                acc0 = stack_accumulate_pallas(
+                    planes0[None], du0[None], dv0[None],
+                    radius0, grid_stride=stride, interpret=interp_mode,
+                )[0]
+            warped0 = jnp.where(val0, acc0, 0.0)
+            gwx, gwy = grad_ops.sobel(warped0)
+            # Sobel on the strided grid measures d/d(grid step); divide by
+            # the stride for d/d(full-res pixel) like the template grads.
+            gwx = gwx / (_SOBEL_GAIN * stride)
+            gwy = gwy / (_SOBEL_GAIN * stride)
+            # The warped image is zeros outside validity — only average
+            # where the whole 3x3 Sobel support was valid (1-px erosion);
+            # elsewhere keep the pure template gradient (IC behaviour).
+            okw = _erode3(val0)
+            gex = jnp.where(okw, 0.5 * (g1x_s + gwx), g1x_s)
+            gey = jnp.where(okw, 0.5 * (g1y_s + gwy), g1y_s)
+            pre_jac_planes = approximate_jacobian_planes(
+                depth_prev_m, intrinsics, gex, gey, grid_stride=stride,
+            )
     if use_fallback:
         need_fb0, hard0 = fallback_trigger(estimate0)
         if rel_eff is not None:
@@ -685,6 +761,18 @@ def _solve_level(
     else:
         hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
     return final.estimate, diag, hess
+
+
+def _erode3(mask: jnp.ndarray) -> jnp.ndarray:
+    """3x3 binary erosion over the last two axes (borders erode away)."""
+    h, w = mask.shape[-2], mask.shape[-1]
+    pad = [(0, 0)] * (mask.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(mask, pad, constant_values=False)
+    out = mask
+    for dy in range(3):
+        for dx in range(3):
+            out = out & p[..., dy : dy + h, dx : dx + w]
+    return out
 
 
 def _box2(x: jnp.ndarray) -> jnp.ndarray:

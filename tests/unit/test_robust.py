@@ -296,6 +296,58 @@ class TestSyntheticConvergence:
         assert bool(result.success)
         assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
 
+    @pytest.mark.parametrize("fused", [False, True])
+    def test_esm_gradients_converge(self, fused):
+        """ESM-averaged gradients (both the gather path and the fused
+        frozen-window path) must track the synthetic pair at the same
+        accuracy as the plain inverse-compositional Jacobian.
+
+        ESM is a measured NEGATIVE on the bundled set (see
+        benchmarks/RESULTS.md) and ships off; this pins the opt-in paths
+        as correct so the knob stays usable for configs that want it.
+        """
+        from dense_visual_odometry_tpu.config import TWeighterConfig
+
+        extra = (
+            dict(
+                shift_stack_radius=3, shift_stack_levels=(0, 1),
+                use_pallas_stack=True, use_fused_iteration=True,
+                freeze_shift_window=True,
+            )
+            if fused
+            else {}
+        )
+        cfg = RobustDVOConfig(
+            levels=3, max_iterations=12, use_weighter=True,
+            packed_sampling=True, grid_strides=(2, 1, 1),
+            weighter=TWeighterConfig(scale_subsample=4),
+            approximate_image2_gradient=True,
+            relative_tolerance=1e-2, lm_lambda0=1e-4,
+            use_esm_gradients=True, esm_levels=(0, 1),
+            **extra,
+        )
+        tx = 0.01
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        result = track_pair(
+            _frame_data(gray1, depth, cfg.levels),
+            _frame_data(gray2, depth, cfg.levels),
+            camera,
+            cfg,
+        )
+        assert bool(result.success)
+        assert np.asarray(result.transform)[0, 3] == pytest.approx(tx, abs=3e-3)
+
+    def test_esm_config_validation(self):
+        with pytest.raises(ValueError):
+            RobustDVOConfig(use_esm_gradients=True)  # needs approx gradient
+        with pytest.raises(ValueError):
+            RobustDVOConfig(
+                use_esm_gradients=True, approximate_image2_gradient=True,
+                shift_stack_radius=3, use_fused_iteration=True,
+                freeze_shift_window=False,
+            )
+
     def test_tracker_jit_wrapper(self):
         cfg = RobustDVOConfig(levels=2, max_iterations=20)
         tracker = make_tracker(cfg)
