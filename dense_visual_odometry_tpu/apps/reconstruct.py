@@ -1,0 +1,217 @@
+"""3-D reconstruction CLI: track (or load) a trajectory, fuse the frames
+into a TSDF volume, export a triangle mesh.
+
+Completes the map-export story past the reference's per-frame point-cloud
+viewer (``/root/reference/src/visualize.py``) and this framework's own
+PLY clouds (``apps/visualize.py``):
+
+    # bundled 10-frame set -> mesh.ply (tracks with the fast config)
+    python -m dense_visual_odometry_tpu.apps.reconstruct test \
+        -c configs/tpu_fast.json -o out/mesh.ply
+
+    # reuse an existing benchmark report's trajectory (no tracking)
+    python -m dense_visual_odometry_tpu.apps.reconstruct test \
+        --trajectory out/report.json -o out/mesh.ply
+
+The volume bounds are fitted automatically to the observed geometry
+(depth percentiles deprojected through the trajectory) unless given
+explicitly.  Fusion runs device-side (jitted, donated volume); mesh
+extraction is a one-shot host pass (marching tetrahedra).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("dvo.reconstruct")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TSDF reconstruction")
+    p.add_argument("benchmark", choices=["test", "tum-fr1"])
+    p.add_argument("-d", "--data-dir", type=str, default=None)
+    p.add_argument("-c", "--config", type=str, default=None)
+    p.add_argument("--camera", type=str, default=None, help="camera YAML (tum)")
+    p.add_argument("-o", "--output", type=str, required=True, help="mesh .ply")
+    p.add_argument("-m", "--method", choices=["robust-dvo", "slam"],
+                   default="robust-dvo")
+    p.add_argument("--trajectory", type=str, default=None,
+                   help="report JSON or TUM txt with poses (skips tracking)")
+    p.add_argument("--size", type=int, default=None, help="frame limit")
+    p.add_argument("--every", type=int, default=1, help="fuse every Nth frame")
+    p.add_argument("--resolution", type=int, default=192,
+                   help="voxels along the longest volume axis")
+    p.add_argument("--voxel", type=float, default=None,
+                   help="voxel size in meters (overrides --resolution)")
+    p.add_argument("--truncation", type=float, default=None,
+                   help="TSDF truncation in meters (default 4 voxels)")
+    p.add_argument("--min-weight", type=float, default=1.0)
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"])
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p.parse_args(argv)
+
+
+def _load_trajectory_poses(path: Path, n_frames: int) -> np.ndarray:
+    """Report-JSON or TUM-txt -> (N, 4, 4) camera-to-world poses."""
+    from dense_visual_odometry_tpu.io import trajectory
+
+    if path.suffix == ".json":
+        report = json.loads(path.read_text())
+        poses = np.asarray(report["poses"], dtype=np.float64)
+    else:
+        _, poses = trajectory.load_tum_trajectory(path)
+        poses = np.asarray(poses, dtype=np.float64)
+    if len(poses) < n_frames:
+        raise ValueError(
+            f"trajectory has {len(poses)} poses for {n_frames} frames"
+        )
+    return poses[:n_frames]
+
+
+def _track_poses(seq, cfg, method: str) -> np.ndarray:
+    import jax.numpy as jnp
+
+    if method == "slam":
+        from dense_visual_odometry_tpu.models.slam import SlamSession
+
+        session = SlamSession(seq.camera, cfg)
+        for rgb, depth in seq.prefetched():
+            session.step(jnp.asarray(rgb), jnp.asarray(depth))
+        return np.asarray(session.optimized_trajectory(), dtype=np.float64)
+
+    from dense_visual_odometry_tpu.models.session import OdometrySession
+
+    session = OdometrySession(seq.camera, cfg)
+    poses = []
+    for rgb, depth in seq.prefetched():
+        pose = session.step(jnp.asarray(rgb), jnp.asarray(depth))
+        poses.append(np.asarray(pose.matrix, dtype=np.float64))
+    return np.stack(poses)
+
+
+def _fit_bounds(frames, intrinsics, poses, pad: float):
+    """World-space AABB of the observed surface (depth percentiles of a
+    pixel subsample deprojected through the trajectory)."""
+    k_inv = np.linalg.inv(intrinsics)
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for (depth_m, _), pose in zip(frames, poses):
+        d = depth_m[::8, ::8]
+        vs, us = np.nonzero(d > 0)
+        if len(vs) == 0:
+            continue
+        z = d[vs, us]
+        # Trim far outliers so one bad pixel can't blow the volume up.
+        keep = z <= np.percentile(z, 98.0)
+        vs, us, z = vs[keep], us[keep], z[keep]
+        pix = np.stack([us * 8, vs * 8, np.ones_like(us)], axis=0)
+        rays = k_inv @ pix
+        pts = (rays * z).T @ pose[:3, :3].T + pose[:3, 3]
+        lo = np.minimum(lo, pts.min(axis=0))
+        hi = np.maximum(hi, pts.max(axis=0))
+    if not np.all(np.isfinite(lo)):
+        raise ValueError("no valid depth in the sequence")
+    return lo - pad, hi + pad
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from dense_visual_odometry_tpu.config import RobustDVOConfig
+    from dense_visual_odometry_tpu.io import load_bundled_sequence, load_tum_sequence
+    from dense_visual_odometry_tpu.models import tsdf
+    from dense_visual_odometry_tpu.ops.pyramid import preprocess_depth, rgb_to_gray
+
+    if args.benchmark == "test":
+        seq = load_bundled_sequence(args.data_dir, size=args.size)
+    else:
+        seq = load_tum_sequence(args.data_dir, camera_yaml=args.camera,
+                                size=args.size)
+    cfg = (
+        RobustDVOConfig.from_json(args.config)
+        if args.config
+        else RobustDVOConfig(levels=4, use_weighter=True)
+    )
+
+    if args.trajectory:
+        poses = _load_trajectory_poses(Path(args.trajectory), len(seq))
+        logger.info("loaded %d poses from %s", len(poses), args.trajectory)
+    else:
+        t0 = time.perf_counter()
+        poses = _track_poses(seq, cfg, args.method)
+        logger.info(
+            "tracked %d frames with %s in %.1f s",
+            len(poses), args.method, time.perf_counter() - t0,
+        )
+
+    # Host-side gray/metric-depth conversion (fusion consumes level-0
+    # images; reuses the exact session preprocessing ops).
+    frames = []
+    for rgb, depth in seq.prefetched():
+        gray = np.asarray(rgb_to_gray(jnp.asarray(rgb))) if rgb.ndim == 3 else rgb
+        depth_m = np.asarray(
+            preprocess_depth(jnp.asarray(depth), seq.camera.depth_scale, cfg.max_distance)
+        )
+        frames.append((depth_m, np.asarray(gray, dtype=np.float32)))
+    frames = frames[:: args.every]
+    poses_f = poses[:: args.every]
+
+    k = np.asarray(seq.camera.intrinsics, dtype=np.float32)[:3, :3]
+    lo, hi = _fit_bounds(frames, k, poses_f, pad=0.05)
+    extent = hi - lo
+    if args.voxel is not None:
+        voxel = args.voxel
+    else:
+        voxel = float(extent.max()) / args.resolution
+    dims = tuple(
+        int(min(max(np.ceil(e / voxel), 8), 512)) for e in extent[::-1]
+    )  # (D, H, W) = (z, y, x)
+    trunc = args.truncation if args.truncation is not None else 4.0 * voxel
+    vcfg = tsdf.TSDFConfig(
+        dims=dims, voxel_size=voxel, origin=tuple(lo), truncation=trunc
+    )
+    logger.info(
+        "volume %s voxel %.4f m bounds %s -> %s (%.0f MVox)",
+        dims, voxel, np.round(lo, 3), np.round(hi, 3),
+        np.prod(dims) / 1e6,
+    )
+
+    t0 = time.perf_counter()
+    vol = tsdf.integrate_frames(tsdf.make_volume(vcfg), frames, k, poses_f, vcfg)
+    np.asarray(vol.weight)  # force completion (tunneled backends)
+    t_fuse = time.perf_counter() - t0
+    logger.info(
+        "fused %d frames in %.2f s (%.1f ms/frame)",
+        len(frames), t_fuse, t_fuse / max(len(frames), 1) * 1e3,
+    )
+
+    t0 = time.perf_counter()
+    verts, faces, gray_v = tsdf.extract_mesh(vol, vcfg, min_weight=args.min_weight)
+    logger.info(
+        "extracted %d vertices / %d faces in %.2f s",
+        len(verts), len(faces), time.perf_counter() - t0,
+    )
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tsdf.save_mesh_ply(out, verts, faces, gray_v)
+    logger.info("mesh -> %s", out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,3 +27,12 @@ from dense_visual_odometry_tpu.models.dense_ba import (  # noqa: F401
     optimize_dense_ba,
     optimize_dense_ba_sharded,
 )
+from dense_visual_odometry_tpu.models.tsdf import (  # noqa: F401
+    TSDFConfig,
+    TSDFVolume,
+    extract_mesh,
+    integrate,
+    integrate_frames,
+    make_volume,
+    save_mesh_ply,
+)

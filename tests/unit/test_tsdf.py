@@ -1,0 +1,189 @@
+"""TSDF fusion + marching-tetrahedra mesh extraction.
+
+Oracle style follows SURVEY §4: analytic geometry with exact ground truth
+(a sphere) instead of mocks — extraction is validated against the true
+signed distance field, fusion against ray-traced depth maps.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dense_visual_odometry_tpu.models.tsdf import (
+    TSDFConfig,
+    TSDFVolume,
+    extract_mesh,
+    integrate,
+    integrate_frames,
+    make_volume,
+    save_mesh_ply,
+)
+
+CENTER = np.array([0.0, 0.0, 1.0])
+RADIUS = 0.3
+
+
+def sphere_volume(cfg: TSDFConfig) -> TSDFVolume:
+    """Analytic truncated SDF of the test sphere, fully observed."""
+    d, h, w = cfg.dims
+    xs = cfg.origin[0] + (np.arange(w) + 0.5) * cfg.voxel_size
+    ys = cfg.origin[1] + (np.arange(h) + 0.5) * cfg.voxel_size
+    zs = cfg.origin[2] + (np.arange(d) + 0.5) * cfg.voxel_size
+    dist = np.sqrt(
+        (xs[None, None, :] - CENTER[0]) ** 2
+        + (ys[None, :, None] - CENTER[1]) ** 2
+        + (zs[:, None, None] - CENTER[2]) ** 2
+    ) - RADIUS
+    tsdf = np.clip(dist / cfg.truncation, -1.0, 1.0).astype(np.float32)
+    return TSDFVolume(
+        tsdf=jnp.asarray(tsdf),
+        weight=jnp.full(cfg.dims, 2.0, jnp.float32),
+        gray=jnp.full(cfg.dims, 128.0, jnp.float32),
+    )
+
+
+def render_sphere_depth(h, w, intrinsics, pose):
+    """Exact ray-traced depth of the sphere from a camera-to-world pose."""
+    t_cw = np.linalg.inv(pose)
+    c_cam = t_cw[:3, :3] @ CENTER + t_cw[:3, 3]
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    x = (u - intrinsics[0, 2]) / intrinsics[0, 0]
+    y = (v - intrinsics[1, 2]) / intrinsics[1, 1]
+    # Ray p(t) = t * (x, y, 1): depth is t itself.
+    a = x * x + y * y + 1.0
+    b = -2.0 * (x * c_cam[0] + y * c_cam[1] + c_cam[2])
+    c0 = float(c_cam @ c_cam - RADIUS**2)
+    disc = b * b - 4 * a * c0
+    hit = disc > 0
+    t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a), 0.0)
+    return np.where(hit & (t > 0), t, 0.0).astype(np.float32)
+
+
+def lookat(eye, target, up=(0.0, 1.0, 0.0)):
+    """Camera-to-world pose with +z viewing direction toward ``target``."""
+    eye = np.asarray(eye, dtype=np.float64)
+    fwd = np.asarray(target, dtype=np.float64) - eye
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, dtype=np.float64))
+    if np.linalg.norm(right) < 1e-6:  # view parallel to up
+        right = np.cross(fwd, np.array([0.0, 0.0, 1.0]))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = right, down, fwd, eye
+    assert np.isclose(np.linalg.det(pose[:3, :3]), 1.0)
+    return pose
+
+
+def test_marching_tets_recovers_sphere():
+    cfg = TSDFConfig.around(CENTER, 1.0, resolution=64)
+    verts, faces, gray = extract_mesh(sphere_volume(cfg), cfg)
+    assert len(faces) > 1000
+    rad = np.linalg.norm(verts - CENTER, axis=1)
+    # Linear interpolation of a clean SDF puts vertices well within a
+    # voxel of the true surface.
+    assert np.abs(rad - RADIUS).max() < cfg.voxel_size
+    assert np.allclose(gray, 128.0)
+
+
+def test_mesh_is_watertight_and_outward_wound():
+    cfg = TSDFConfig.around(CENTER, 1.0, resolution=48)
+    verts, faces, _ = extract_mesh(sphere_volume(cfg), cfg)
+    # Watertight: every undirected edge is shared by exactly two faces.
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # Winding: normals point away from the sphere centre.
+    e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+    e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+    n = np.cross(e1, e2)
+    outward = verts[faces].mean(axis=1) - CENTER
+    agree = np.einsum("ij,ij->i", n, outward) > 0
+    assert agree.mean() > 0.99
+
+
+def test_empty_volume_extracts_nothing():
+    cfg = TSDFConfig(dims=(16, 16, 16), voxel_size=0.05)
+    verts, faces, gray = extract_mesh(make_volume(cfg), cfg)
+    assert len(verts) == 0 and len(faces) == 0 and len(gray) == 0
+
+
+def test_fusion_from_rendered_depth():
+    cfg = TSDFConfig.around(CENTER, 1.2, resolution=64, truncation=0.06)
+    h, w = 120, 160
+    k = np.array(
+        [[120.0, 0.0, 80.0], [0.0, 120.0, 60.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    poses = [
+        lookat((0.0, 0.0, 0.0), CENTER),
+        lookat((1.0, 0.0, 1.0), CENTER),
+        lookat((0.0, -1.0, 1.0), CENTER),
+    ]
+    frames = [
+        (render_sphere_depth(h, w, k, p), np.full((h, w), 100.0, np.float32))
+        for p in poses
+    ]
+    vol = integrate_frames(make_volume(cfg), frames, k, poses, cfg)
+    verts, faces, gray = extract_mesh(vol, cfg, min_weight=1.0)
+    assert len(faces) > 500
+    rad = np.linalg.norm(verts - CENTER, axis=1)
+    # Fusion adds nearest-pixel sampling + view-averaging error: stay
+    # within two voxels of the true surface.
+    assert np.abs(rad - RADIUS).max() < 2.0 * cfg.voxel_size
+    assert np.abs(np.median(rad) - RADIUS) < 0.5 * cfg.voxel_size
+    assert np.all(gray > 90.0) and np.all(gray < 110.0)
+
+
+def test_integrate_updates_weight_and_is_donated_safe():
+    cfg = TSDFConfig.around(CENTER, 1.2, resolution=32)
+    h, w = 60, 80
+    k = np.array(
+        [[60.0, 0.0, 40.0], [0.0, 60.0, 30.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    pose = np.eye(4, dtype=np.float32)
+    depth = render_sphere_depth(h, w, k, pose)
+    vol = make_volume(cfg)
+    for _ in range(3):
+        vol = integrate(
+            vol, jnp.asarray(depth), jnp.full((h, w), 50.0), jnp.asarray(k),
+            jnp.asarray(pose), cfg,
+        )
+    wmax = float(jnp.max(vol.weight))
+    assert wmax == 3.0
+    # Unobserved voxels untouched.
+    assert float(jnp.min(vol.weight)) == 0.0
+    assert float(jnp.max(vol.gray)) == pytest.approx(50.0)
+
+
+def test_reconstruct_cli_bundled(tmp_path):
+    """End-to-end: track the (subset) bundled set, fuse, export a mesh."""
+    from dense_visual_odometry_tpu.apps import reconstruct
+
+    out = tmp_path / "mesh.ply"
+    rc = reconstruct.main(
+        [
+            "test", "-o", str(out), "--resolution", "48", "--size", "3",
+            "--every", "1",
+        ]
+    )
+    assert rc == 0
+    header = out.read_text().split("end_header")[0]
+    n_verts = int(header.split("element vertex ")[1].split()[0])
+    n_faces = int(header.split("element face ")[1].split()[0])
+    assert n_verts > 200 and n_faces > 200
+
+
+def test_save_mesh_ply_roundtrip(tmp_path):
+    cfg = TSDFConfig.around(CENTER, 1.0, resolution=24)
+    verts, faces, gray = extract_mesh(sphere_volume(cfg), cfg)
+    out = tmp_path / "mesh.ply"
+    save_mesh_ply(out, verts, faces, gray)
+    text = out.read_text().splitlines()
+    assert text[0] == "ply"
+    assert f"element vertex {len(verts)}" in text
+    assert f"element face {len(faces)}" in text
+    body = [ln for ln in text if ln and not ln[0].isalpha()]
+    assert len(body) == len(verts) + len(faces)
