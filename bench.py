@@ -36,7 +36,11 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_FILE = REPO / "benchmarks" / "baseline.json"
-BATCH = 64
+# Headline batch = the measured throughput ceiling (B=128; scaling table
+# in benchmarks/RESULTS.md).  The BASELINE.json config-3 shape (64
+# pairs/chip) is timed alongside and reported as ``fps_b64``.
+BATCH = 128
+CONFIG3_BATCH = 64
 WARMUP = 1
 ITERS = 3
 WATCHDOG_S = float(os.environ.get("DVO_BENCH_WATCHDOG_S", "1500"))
@@ -116,28 +120,37 @@ def main():
     )
     frames = [pre(jnp.asarray(rgb), jnp.asarray(depth)) for rgb, depth in seq.prefetched()]
 
-    pairs = [(frames[i], frames[i + 1]) for i in range(len(frames) - 1)]
-    reps = -(-BATCH // len(pairs))
-    pairs = (pairs * reps)[:BATCH]
-    prev_b = stack_frame_data([p for p, _ in pairs])
-    curr_b = stack_frame_data([c for _, c in pairs])
+    all_pairs = [(frames[i], frames[i + 1]) for i in range(len(frames) - 1)]
     k = jnp.asarray(seq.camera.intrinsics)
 
-    def run_once():
-        out = batched_track_pair(prev_b, curr_b, k, cfg)
-        # Force completion with a real read: on tunneled remote backends
-        # block_until_ready can return before execution finishes.
-        np.asarray(out.transform)
-        return out
+    def batch_of(n):
+        pairs = (all_pairs * (-(-n // len(all_pairs))))[:n]
+        return (
+            stack_frame_data([p for p, _ in pairs]),
+            stack_frame_data([c for _, c in pairs]),
+        )
 
-    for _ in range(WARMUP):
-        out = run_once()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = run_once()
-    elapsed = time.perf_counter() - t0
-    fps = BATCH * ITERS / elapsed
-    ms_per_batch = elapsed / ITERS * 1e3
+    def measure(n):
+        prev_b, curr_b = batch_of(n)
+
+        def run_once():
+            out = batched_track_pair(prev_b, curr_b, k, cfg)
+            # Force completion with a real read: on tunneled remote
+            # backends block_until_ready can return before execution
+            # finishes.
+            np.asarray(out.transform)
+            return out
+
+        for _ in range(WARMUP):
+            out = run_once()
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = run_once()
+        elapsed = time.perf_counter() - t0
+        return n * ITERS / elapsed, elapsed / ITERS * 1e3, out
+
+    fps_b64, _, _ = measure(CONFIG3_BATCH)
+    fps, ms_per_batch, out = measure(BATCH)
 
     # Accuracy: sequential session over the 10 frames.
     session = OdometrySession(seq.camera, cfg)
@@ -155,6 +168,7 @@ def main():
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "batch": BATCH,
         "ms_per_batch": round(ms_per_batch, 1),
+        "fps_b64": round(fps_b64, 2),
         "ate_rmse_m": round(ate, 5),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

@@ -125,6 +125,32 @@ class RobustDVOConfig:
     # many of that level's pixels, evaluations switch to exact
     # current-image gradients.
     fallback_max_displacement: float = 3.0
+    # Third fallback trigger (rotation): a precomputed Jacobian's gradient
+    # DIRECTIONS are those of the template — a rotation of the content
+    # rotates the true gradients with it, so the IC Jacobian stays biased
+    # even at the converged solution.  Neither the coverage nor the
+    # displacement trigger can see it (a warm-started rotation has
+    # near-zero residual displacement).  When the level-start estimate's
+    # rotation angle exceeds this (radians), evaluations switch to exact
+    # current-image gradients.  Applies at every level using the
+    # approximate Jacobian.  NOTE: like every estimate-based trigger, this
+    # only fires once the estimate CARRIES the rotation (warm starts);
+    # the cold-start case is covered by ``retrack_max_scale``.
+    fallback_max_rotation: float = 0.03
+    # Scale-gated retrack (hard-motion bootstrap): every estimate-based
+    # fallback trigger reads zero at an uninformed (identity) init — the
+    # biased fast path then "converges" instantly and the mistrack
+    # silently poisons every later warm start.  The converged IRLS
+    # residual scale is the estimate-independent tell (measured, shipped
+    # config: every well-tracked frame ends with finest-level sigma <= 5
+    # intensity units across real + synthetic sets; every mistracked one
+    # >= 21 — benchmarks/RESULTS.md).  After the coarse-to-fine cascade,
+    # any batch element whose finest-level sigma exceeds this threshold is
+    # re-solved from its initial estimate with the robust fallback path
+    # forced at every level (exact gradients, gather warp, tightened
+    # tolerance); one scalar lax.cond keeps clean batches at full speed.
+    # None disables.  Requires use_weighter and shift_stack_fallback.
+    retrack_max_scale: Optional[float] = None
     # When the hard-motion trigger fires at a level's starting estimate,
     # the relative stopping tolerance is multiplied by this factor for
     # that (batch element, level): easy frames keep the aggressive early

@@ -84,6 +84,11 @@ class LevelDiagnostics(NamedTuple):
     iterations: jnp.ndarray  # i32: GN iterations executed at this level
     error: jnp.ndarray  # f32: final mean weighted squared residual
     count: jnp.ndarray  # f32: valid-pixel count at the last iteration
+    # f32: converged IRLS residual scale sigma (intensity units) from the
+    # t-distribution weighter's fixed point — the alignment-quality signal
+    # (a well-aligned pair ends near sensor noise; a mistracked one stays
+    # high).  With use_weighter=False this is the initial sigma, untouched.
+    scale: jnp.ndarray
 
 
 class TrackResult(NamedTuple):
@@ -271,7 +276,8 @@ def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None)
     )
     final = jax.lax.while_loop(cond, body, init)
     diag = LevelDiagnostics(
-        iterations=final.it, error=final.err_acc, count=final.count_acc
+        iterations=final.it, error=final.err_acc, count=final.count_acc,
+        scale=jax.lax.rsqrt(jnp.maximum(final.weight_lambda, 1e-20)),
     )
     return final.est_acc, final.anchor_acc, final.weight_lambda, diag
 
@@ -287,8 +293,14 @@ def _solve_level(
     level: int = 0,
     depth_curr_m: Optional[jnp.ndarray] = None,
     want_hessian: bool = False,
+    force_hard: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, LevelDiagnostics]:
     """Gauss-Newton at one pyramid level as a single ``while_loop``.
+
+    ``force_hard`` (runtime bool, broadcastable to the batch shape) ORs
+    into the hard-motion fallback trigger — the scale-gated retrack pass
+    uses it to force the robust path regardless of what the level-start
+    estimate looks like.  Ignored unless the fallback is configured.
 
     Natively batched: images (..., H, W), transforms (..., 4, 4).  The
     stopping state is per batch element (a converged pair freezes while
@@ -532,6 +544,18 @@ def _solve_level(
         )
         cov = shift_coverage(u, v, radius, stride, coord_mask=valid_geom)
         hard = cov < cfg.shift_fallback_min_coverage
+        if cfg.approximate_image2_gradient:
+            # Rotation trigger, EVERY approximate-Jacobian level: an
+            # in-plane rotation rotates the true gradient directions, so
+            # the precomputed grad-I1 Jacobian stays biased even at the
+            # converged solution — a warm-started rotation has near-zero
+            # residual displacement, so the other triggers cannot see it
+            # (measured: the whole rotation-heavy stress gap is this
+            # term, benchmarks/RESULTS.md).
+            rot = estimate[..., :3, :3]
+            cos_t = 0.5 * (jnp.trace(rot, axis1=-2, axis2=-1) - 1.0)
+            theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
+            hard = hard | (theta > cfg.fallback_max_rotation)
         if cfg.approximate_image2_gradient and level == cfg.levels - 1:
             # Jacobian-validity trigger, COARSEST level only: recentering
             # hides pure translation, but a precomputed Jacobian is wrong
@@ -641,6 +665,9 @@ def _solve_level(
             )
     if use_fallback:
         need_fb0, hard0 = fallback_trigger(estimate0)
+        if force_hard is not None:
+            hard0 = hard0 | force_hard
+            need_fb0 = need_fb0 | jnp.any(force_hard)
         if rel_eff is not None:
             # Hard-motion levels get a tighter relative stop (per batch
             # element): the aggressive early stop is an easy-sequence
@@ -749,7 +776,8 @@ def _solve_level(
     )
     final = jax.lax.while_loop(cond, body, init)
     diag = LevelDiagnostics(
-        iterations=final.it, error=final.err_last, count=final.count_last
+        iterations=final.it, error=final.err_last, count=final.count_last,
+        scale=jax.lax.rsqrt(jnp.maximum(final.weight_lambda, 1e-20)),
     )
     if want_hessian:
         # The Laplace information must be evaluated AT the returned
@@ -870,29 +898,70 @@ def track_pair(
             (err_eye < err_guess)[..., None, None], eye, estimate
         )
 
-    diags = []
-    hessian = jnp.zeros((6, 6), jnp.float32)
-    for level in range(cfg.levels - 1, -1, -1):
-        k_level = camera.at(level)
-        estimate, diag, hessian = _solve_level(
-            prev.gray[level],
-            prev.depth_m[level],
-            curr.gray[level],
-            k_level,
-            estimate,
-            anchor,
-            cfg,
-            level=level,
-            depth_curr_m=curr.depth_m[level],
-            want_hessian=(level == 0),
-        )
-        diags.append(diag)
+    est_init = estimate
 
-    stacked = LevelDiagnostics(
-        iterations=jnp.stack([d.iterations for d in diags]),
-        error=jnp.stack([d.error for d in diags]),
-        count=jnp.stack([d.count for d in diags]),
+    def run_cascade(force_hard):
+        est = est_init
+        diags = []
+        hessian = jnp.zeros(batch_shape + (6, 6), jnp.float32)
+        for level in range(cfg.levels - 1, -1, -1):
+            est, diag, hessian = _solve_level(
+                prev.gray[level],
+                prev.depth_m[level],
+                curr.gray[level],
+                camera.at(level),
+                est,
+                anchor,
+                cfg,
+                level=level,
+                depth_curr_m=curr.depth_m[level],
+                want_hessian=(level == 0),
+                force_hard=force_hard,
+            )
+            diags.append(diag)
+        stacked = LevelDiagnostics(
+            iterations=jnp.stack([d.iterations for d in diags]),
+            error=jnp.stack([d.error for d in diags]),
+            count=jnp.stack([d.count for d in diags]),
+            scale=jnp.stack([d.scale for d in diags]),
+        )
+        return est, stacked, hessian
+
+    estimate, stacked, hessian = run_cascade(None)
+
+    use_retrack = (
+        cfg.retrack_max_scale is not None
+        and cfg.use_weighter
+        and cfg.shift_stack_fallback
     )
+    if use_retrack:
+        # Scale-gated retrack: a mistracked element ends the cascade with
+        # a large IRLS residual scale (estimate-INDEPENDENT — the only
+        # signal that survives an uninformed init, where every
+        # estimate-based trigger reads zero and the biased fast path
+        # "converges" instantly; see RobustDVOConfig.retrack_max_scale).
+        # Re-solve those elements from the initial estimate with the
+        # robust fallback forced at every level; one scalar cond keeps
+        # clean batches at full speed.
+        bad = stacked.scale[-1] > cfg.retrack_max_scale
+
+        est2, st2, hess2 = jax.lax.cond(
+            jnp.any(bad),
+            lambda _: run_cascade(bad),
+            lambda _: (estimate, stacked, hessian),
+            None,
+        )
+        pick = bad[..., None, None]
+        estimate = jnp.where(pick, est2, estimate)
+        hessian = jnp.where(pick, hess2, hessian)
+        stacked = LevelDiagnostics(
+            # The while-loop counter is shared across the batch; report
+            # the larger of the two passes (equal when no retrack ran).
+            iterations=jnp.maximum(stacked.iterations, st2.iterations),
+            error=jnp.where(bad[None], st2.error, stacked.error),
+            count=jnp.where(bad[None], st2.count, stacked.count),
+            scale=jnp.where(bad[None], st2.scale, stacked.scale),
+        )
     success = (
         jnp.all(jnp.isfinite(estimate), axis=(-2, -1))
         & jnp.isfinite(stacked.error[-1])

@@ -115,6 +115,32 @@ class TestHardMotion:
         # accuracy; the fallback must be strictly better.
         assert ate_fb < ate_raw
 
+    def test_scale_gated_retrack_rescues_cold_starts(self, scene):
+        """Every estimate-based trigger reads zero at an identity init:
+        the biased fast path "converges" instantly on the first frame and
+        the mistrack poisons every later constant-velocity warm start, so
+        the per-level triggers never get an estimate that carries the
+        motion.  The converged IRLS residual scale is estimate-INDEPENDENT
+        (well-tracked frames end <= ~5 intensity units, mistracked ones
+        >= ~21, see benchmarks/RESULTS.md) — the scale-gated retrack
+        re-solves flagged frames on the robust path and must rescue the
+        rotation-heavy case (measured 28.6 -> 10.6 mm)."""
+        params = self.CASES["rotation-heavy"]
+        cfg_no = _fast_cfg(
+            shift_stack_fallback=True, robust_init_selection=True
+        )
+        cfg_rt = dataclasses.replace(cfg_no, retrack_max_scale=10.0)
+        ate_no = _run_case(scene, cfg=cfg_no, **params)
+        ate_rt = _run_case(scene, cfg=cfg_rt, **params)
+        assert ate_rt < 0.6 * ate_no
+        assert ate_rt < 0.015
+        # And it must not disturb well-tracked sequences (no spurious
+        # retrack: easy frames end far below the scale threshold).
+        mild = self.CASES["mild"]
+        ate_no_mild = _run_case(scene, cfg=cfg_no, **mild)
+        ate_rt_mild = _run_case(scene, cfg=cfg_rt, **mild)
+        assert ate_rt_mild < ate_no_mild + 5e-4
+
     def test_coverage_trigger_fires(self, scene):
         """Unit-level check that the rotation-heavy warp actually drops
         coverage below the fallback threshold at the finest level."""
@@ -143,6 +169,3 @@ class TestHardMotion:
             shift_coverage(u2, v2, radius=4, grid_stride=1, coord_mask=vg2)
         )
         assert cov2 > 0.9
-
-
-del dataclasses
