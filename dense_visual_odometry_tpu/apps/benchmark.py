@@ -280,8 +280,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parents[2] / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from dense_visual_odometry_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax.default_backend())
     return run(args)
 
 

@@ -30,9 +30,15 @@ if os.environ.get("DVO_TEST_ON_TPU", "0") != "1":
 
 # XLA compiles are slow in this environment (~0.3 s per executable) and
 # eager mode compiles every primitive separately.  Framework code is fully
-# jitted; the persistent cache makes repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# jitted; the persistent cache makes repeated test runs fast.  The CPU
+# cache is MACHINE-SCOPED (utils/cache.py): XLA:CPU AOT executables encode
+# the host CPU's feature set but the cache key does not (jax 0.9), and a
+# foreign entry can CHECK-abort the whole process mid-suite.
+from dense_visual_odometry_tpu.utils.cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache("cpu")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
@@ -48,6 +54,22 @@ REFERENCE_TEST_DATA = Path(
 
 def _have_real_data() -> bool:
     return (REFERENCE_TEST_DATA / "ground_truth.json").exists()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_executable_residency():
+    """Drop compiled-executable references at every module boundary.
+
+    A single ``pytest tests/`` process compiles/loads thousands of XLA:CPU
+    executables (plus one giant uncacheable two-branch interpret-mode
+    program); past a cumulative threshold the XLA:CPU JIT aborts the
+    process on the next large compile or cache deserialize (observed as
+    ``Fatal Python error: Aborted`` in ``backend_compile_and_load`` /
+    ``get_executable_and_time``).  Clearing jit caches between modules
+    bounds residency; the persistent cache makes reloads cheap.
+    """
+    yield
+    jax.clear_caches()
 
 
 requires_real_data = pytest.mark.skipif(
