@@ -76,8 +76,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from dense_visual_odometry_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax.default_backend())
 
     import jax.numpy as jnp
     import numpy as np
@@ -91,11 +92,13 @@ def main():
 
     # TPU-tuned configuration (round 2): packed f16 tap sampling,
     # gather-free recentered shift-stack warping at levels 0-2 via the
-    # FULLY-FUSED Pallas GN-iteration kernel, per-level grid decimation,
-    # LM trust region with predictive stopping, hard-motion fallback +
-    # robust init selection (production-safe) — measured at ATE parity
-    # with the reference-default configuration on this set (4.24 vs
-    # 4.08 mm).  Batch 64 per chip = BASELINE.json config-3 shape.
+    # LEVEL-FUSED Pallas solver kernel (the whole per-level LM loop in
+    # one launch, ops/pallas/level_solver.py), per-level grid
+    # decimation, LM trust region with predictive stopping, hard-motion
+    # fallback + robust init selection (production-safe) — measured at
+    # ATE parity with the reference-default configuration on this set
+    # (4.24 vs 4.08 mm).  Batch 64 per chip = BASELINE.json config-3
+    # shape.
     cfg = RobustDVOConfig(
         levels=4, max_iterations=12, use_weighter=True,
         packed_sampling=True, grid_strides=(2, 2, 1, 1),
@@ -107,6 +110,7 @@ def main():
         use_pallas_stack=True,
         use_fused_iteration=True,
         freeze_shift_window=True,
+        use_level_kernel=True,
         shift_stack_fallback=True,
         robust_init_selection=True,
     )

@@ -201,6 +201,18 @@ class RobustDVOConfig:
     lm_up: float = 4.0
     lm_down: float = 0.5
     lm_lambda_max: float = 1e5
+    # Level-fused solver: run the ENTIRE per-level LM loop inside one
+    # Pallas kernel (ops/pallas/level_solver.py) — warp geometry, tent
+    # taps, t-IRLS, H/b reduction, damped 6x6 Cholesky, SE(3) update and
+    # stopping all on-chip; the frozen window/Jacobian stream from HBM
+    # once per LEVEL instead of once per iteration, and the sequential
+    # per-iteration dispatch cost (measured ~3 thunks x ~0.9 ms on the
+    # target transport, benchmarks/RESULTS.md) collapses to one kernel
+    # launch per level.  Applies at fused levels when ``lm_lambda0``,
+    # ``use_fused_iteration`` and ``freeze_shift_window`` are set and no
+    # motion prior / depth residuals are configured; other levels and
+    # the hard-motion fallback branch keep the XLA loop.
+    use_level_kernel: bool = False
     # ESM-style gradients (Benhimane & Malis): the precomputed Jacobian
     # uses 0.5 * (grad I1(x) + grad I2(w0(x))) instead of grad I1 alone,
     # where w0 is each LEVEL's starting warp.  The averaged gradient is

@@ -693,6 +693,81 @@ def _solve_level(
             )
         return eval_mode(default_mode, estimate, prior_anchor, weight_lambda)
 
+    # Level-fused solver: the WHOLE per-level LM loop in one Pallas
+    # kernel (ops/pallas/level_solver.py) — the frozen window streams
+    # HBM->VMEM once per level and each on-chip iteration costs
+    # microseconds instead of ~3 sequential dispatch steps (measured
+    # transport attribution, benchmarks/RESULTS.md).  The hard-motion
+    # branch keeps the XLA loop: its gather-based evaluate cannot (and
+    # should not) live in the shift-window kernel.
+    use_level_kernel = (
+        cfg.use_level_kernel
+        and use_fused
+        and frozen_win is not None
+        and cfg.lm_lambda0 is not None
+        and not use_prior
+    )
+    if cfg.lm_lambda0 is not None and use_level_kernel:
+        from dense_visual_odometry_tpu.ops.pallas.level_solver import (
+            solve_level_fused,
+        )
+
+        lk_planes, lk_cu, lk_cv = frozen_win
+        wlam_init = jnp.full(
+            batch_shape, 1.0 / (cfg.weighter.initial_sigma**2), jnp.float32
+        )
+
+        def run_level_kernel(args):
+            est_in, anc_in = args
+            est, anchor, wlam, err, count, its = solve_level_fused(
+                lk_planes, lk_cu, lk_cv, depth_prev_m, gray_prev,
+                pre_jac_planes, intrinsics, est_in, anc_in, wlam_init,
+                rel=(
+                    None if rel_eff is None
+                    else jnp.broadcast_to(rel_eff, batch_shape)
+                ),
+                image_h=gray_curr.shape[-2],
+                image_w=gray_curr.shape[-1],
+                radius=cfg.shift_stack_radius,
+                grid_stride=stride,
+                dof=cfg.weighter.dof,
+                unroll=cfg.weighter.unroll_iterations or 3,
+                use_tweights=cfg.use_weighter,
+                normalize_scale=cfg.weighter.normalize_scale,
+                tolerance=cfg.tolerance,
+                lm_lambda0=cfg.lm_lambda0,
+                lm_up=cfg.lm_up,
+                lm_down=cfg.lm_down,
+                lm_lambda_max=cfg.lm_lambda_max,
+                max_iterations=cfg.max_iterations,
+            )
+            diag = LevelDiagnostics(
+                iterations=its, error=err, count=count,
+                scale=jax.lax.rsqrt(jnp.maximum(wlam, 1e-20)),
+            )
+            return est, anchor, wlam, diag
+
+        def run_xla_loop(args):
+            est_in, anc_in = args
+            return _lm_loop(
+                evaluate, est_in, anc_in, cfg, batch_shape, rel_eff=rel_eff
+            )
+
+        if use_fallback:
+            final_est, final_anchor, final_wlam, diag = jax.lax.cond(
+                need_fb0, run_xla_loop, run_level_kernel,
+                (estimate0, prior_anchor0),
+            )
+        else:
+            final_est, final_anchor, final_wlam, diag = run_level_kernel(
+                (estimate0, prior_anchor0)
+            )
+        if want_hessian:
+            hess = evaluate(final_est, final_anchor, final_wlam)[4]
+        else:
+            hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
+        return final_est, diag, hess
+
     if cfg.lm_lambda0 is not None:
         final_est, final_anchor, final_wlam, diag = _lm_loop(
             evaluate, estimate0, prior_anchor0, cfg, batch_shape,

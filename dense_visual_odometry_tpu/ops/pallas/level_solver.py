@@ -1,0 +1,637 @@
+"""Pallas kernel: an ENTIRE pyramid level's LM solve in one invocation.
+
+Motivation (benchmarks/RESULTS.md, transport-overhead attribution): on
+the target device every sequential step — a loop iteration, a dependent
+custom call — costs ~0.9 ms regardless of the work inside, so the
+per-iteration design (XLA warp geometry -> fused kernel -> XLA
+solve/update, ~3 thunk groups x ~11 iterations per frame) spends most
+of its time on scheduling.  Measured in-kernel, one LM iteration costs
+microseconds.  This kernel therefore runs the WHOLE per-level
+Levenberg-Marquardt loop on-chip: the frozen window planes, template,
+3-D points and IC Jacobian stream HBM->VMEM once per LEVEL (not per
+iteration), and warp geometry, tent-tap accumulation, t-IRLS, the
+H/b reduction, the damped 6x6 Cholesky solve, the SE(3) exponential
+update and the trust-region/stopping bookkeeping all execute from
+on-chip memory inside a per-element ``lax.while_loop``.  Only the final
+pose, anchor and diagnostics (48 scalars/element) leave the kernel.
+This also removes the per-iteration HBM re-streaming (~139 MB x
+iterations -> x1) on non-tunneled hardware.
+
+Semantics: bit-compatible restatement of ``models/robust._lm_loop``
+with the ``fused`` evaluate mode (frozen window), NO motion prior
+(``cfg.sigma is None`` — the caller falls back to the XLA loop
+otherwise) and no depth residuals.  The damped solve uses an unrolled
+Cholesky instead of ``jnp.linalg.solve`` (measured equivalent to 2e-5
+relative).  Per-element loop exit replaces the batch-wide
+``any(~done)`` condition — element results are identical because done
+elements never update; the reported iteration count is the batch max,
+which equals ``_lm_loop``'s trip count.
+
+Mosaic constraints discovered for this kernel (benchmarks/
+exp_megafeas.py): ``acos``/``atan2`` do not lower (scalar sin/cos/sqrt
+do — enough for se3.exp; se3.log would need a Newton inversion);
+``tpu.iota`` only produces integers; while_loop with a ~90-scalar carry
+lowers fine and an on-chip iteration costs ~microseconds.
+
+Reference anchor: the loop being collapsed is the reference's per-level
+``while`` at ``/root/reference/src/dense_visual_odometry/core/
+robust_dense_visual_odometry/base_robust_dvo.py:190-240`` (one full
+image pipeline per iteration); the TPU answer keeps the level resident
+in VMEM across all of them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# SMEM scalar-input row layout per batch element:
+#   [0:16) est0 row-major | [16:32) anchor0 | 32 wlam0 | 33 fx | 34 fy
+#   | 35 cx | 36 cy | 37 cu | 38 cv | 39 rel_tolerance (<0 = disabled)
+_IN_COLS = 40
+# SMEM output row layout per batch element:
+#   [0:16) est | [16:32) anchor | 32 wlam | 33 lm_lambda | 34 err
+#   | 35 count | 36 iterations | 37.. zero padding
+_OUT_COLS = 48
+
+_SMALL_ANGLE_SQ = 1e-4  # so3._SMALL_ANGLE ** 2 (same series thresholds)
+
+
+def _se3_exp_scalars(d):
+    """se3.exp on 6 scalars (upsilon, phi) -> 12 scalars (R | t) rows.
+
+    Mirrors utils/lie/{so3,se3}.exp: Rodrigues + left Jacobian V with the
+    same series fallbacks below theta < 1e-2.
+    """
+    ux, uy, uz, wx, wy, wz = d
+    th_sq = wx * wx + wy * wy + wz * wz
+    small = th_sq < _SMALL_ANGLE_SQ
+    th_safe = jnp.sqrt(jnp.where(small, 1.0, th_sq))
+    sin_t = jnp.sin(th_safe)
+    cos_t = jnp.cos(th_safe)
+    a = jnp.where(
+        small, 1.0 - th_sq / 6.0 + th_sq * th_sq / 120.0, sin_t / th_safe
+    )
+    b = jnp.where(
+        small,
+        0.5 - th_sq / 24.0 + th_sq * th_sq / 720.0,
+        (1.0 - cos_t) / jnp.where(small, 1.0, th_sq),
+    )
+    c = jnp.where(
+        small,
+        1.0 / 6.0 - th_sq / 120.0 + th_sq * th_sq / 5040.0,
+        (th_safe - sin_t) / jnp.where(small, 1.0, th_sq * th_safe),
+    )
+    # K = hat(w); R = I + a K + b K^2 ; V = I + b K + c K^2
+    kxx, kyy, kzz = -(wy * wy + wz * wz), -(wx * wx + wz * wz), -(wx * wx + wy * wy)
+    kxy, kxz, kyz = wx * wy, wx * wz, wy * wz
+    r00 = 1.0 + b * kxx
+    r11 = 1.0 + b * kyy
+    r22 = 1.0 + b * kzz
+    r01 = -a * wz + b * kxy
+    r10 = a * wz + b * kxy
+    r02 = a * wy + b * kxz
+    r20 = -a * wy + b * kxz
+    r12 = -a * wx + b * kyz
+    r21 = a * wx + b * kyz
+    v00 = 1.0 + c * kxx
+    v11 = 1.0 + c * kyy
+    v22 = 1.0 + c * kzz
+    v01 = -b * wz + c * kxy
+    v10 = b * wz + c * kxy
+    v02 = b * wy + c * kxz
+    v20 = -b * wy + c * kxz
+    v12 = -b * wx + c * kyz
+    v21 = b * wx + c * kyz
+    tx = v00 * ux + v01 * uy + v02 * uz
+    ty = v10 * ux + v11 * uy + v12 * uz
+    tz = v20 * ux + v21 * uy + v22 * uz
+    return (r00, r01, r02, tx, r10, r11, r12, ty, r20, r21, r22, tz)
+
+
+def _compose(a, b):
+    """(R_a|t_a) @ (R_b|t_b) on 12-scalar affine rows."""
+    a00, a01, a02, ax, a10, a11, a12, ay, a20, a21, a22, az = a
+    b00, b01, b02, bx, b10, b11, b12, by, b20, b21, b22, bz = b
+    return (
+        a00 * b00 + a01 * b10 + a02 * b20,
+        a00 * b01 + a01 * b11 + a02 * b21,
+        a00 * b02 + a01 * b12 + a02 * b22,
+        a00 * bx + a01 * by + a02 * bz + ax,
+        a10 * b00 + a11 * b10 + a12 * b20,
+        a10 * b01 + a11 * b11 + a12 * b21,
+        a10 * b02 + a11 * b12 + a12 * b22,
+        a10 * bx + a11 * by + a12 * bz + ay,
+        a20 * b00 + a21 * b10 + a22 * b20,
+        a20 * b01 + a21 * b11 + a22 * b21,
+        a20 * b02 + a21 * b12 + a22 * b22,
+        a20 * bx + a21 * by + a22 * bz + az,
+    )
+
+
+def _inverse(m):
+    """[R^T | -R^T t] on a 12-scalar affine row."""
+    r00, r01, r02, tx, r10, r11, r12, ty, r20, r21, r22, tz = m
+    return (
+        r00, r10, r20, -(r00 * tx + r10 * ty + r20 * tz),
+        r01, r11, r21, -(r01 * tx + r11 * ty + r21 * tz),
+        r02, r12, r22, -(r02 * tx + r12 * ty + r22 * tz),
+    )
+
+
+def _chol_solve6(h21, rhs):
+    """Damped-system solve via unrolled 6x6 Cholesky on scalars.
+
+    h21: upper-triangular row-major packing h[i][j], i<=j.
+    Measured equivalent to jnp.linalg.solve at 2e-5 relative
+    (benchmarks/exp_tail.py).
+    """
+    idx = {}
+    k = 0
+    for i in range(6):
+        for j in range(i, 6):
+            idx[(i, j)] = k
+            k += 1
+
+    def H(i, j):
+        return h21[idx[(i, j)]] if i <= j else h21[idx[(j, i)]]
+
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        s = H(j, j)
+        for t in range(j):
+            s = s - L[j][t] * L[j][t]
+        djj = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[j][j] = djj
+        inv = 1.0 / djj
+        for i in range(j + 1, 6):
+            s = H(i, j)
+            for t in range(j):
+                s = s - L[i][t] * L[j][t]
+            L[i][j] = s * inv
+    y = [None] * 6
+    for i in range(6):
+        s = rhs[i]
+        for t in range(i):
+            s = s - L[i][t] * y[t]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for t in range(i + 1, 6):
+            s = s - L[t][i] * x[t]
+        x[i] = s / L[i][i]
+    return tuple(x)
+
+
+def _level_kernel(
+    radius: int,
+    hp: int,
+    wp: int,
+    stride: int,
+    image_h: int,
+    image_w: int,
+    dof: float,
+    unroll: int,
+    use_tweights: bool,
+    normalize_scale: bool,
+    tolerance: float,
+    lm_up: float,
+    lm_down: float,
+    lm_lambda_max: float,
+    max_iterations: int,
+    lm_lambda0: float,
+):
+    fmax = float(jnp.finfo(jnp.float32).max)
+
+    def kernel(planes_ref, pts_ref, gray_ref, jac_ref, scal_ref,
+               out_ref, acc_ref):
+        bi = pl.program_id(0)
+        ph = planes_ref.shape[-2]
+        pw = planes_ref.shape[-1]
+
+        px = pts_ref[0, 0]
+        py = pts_ref[0, 1]
+        pz = pts_ref[0, 2]
+        gray = gray_ref[0]
+        fx = scal_ref[bi, 33]
+        fy = scal_ref[bi, 34]
+        cx = scal_ref[bi, 35]
+        cy = scal_ref[bi, 36]
+        cuf = scal_ref[bi, 37]
+        cvf = scal_ref[bi, 38]
+        rel = scal_ref[bi, 39]
+        # Full-res template coordinates of the strided grid.
+        coli = (
+            jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).astype(
+                jnp.float32
+            )
+            * float(stride)
+            + cuf
+        )
+        rowi = (
+            jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
+                jnp.float32
+            )
+            * float(stride)
+            + cvf
+        )
+        rad = jnp.float32(radius)
+
+        def affine(base):
+            return tuple(scal_ref[bi, base + r * 4 + c]
+                         for r in range(3) for c in range(4))
+
+        est0 = affine(0)
+        anchor0 = affine(16)
+
+        def evaluate(est, wlam):
+            (r00, r01, r02, tx, r10, r11, r12, ty,
+             r20, r21, r22, tz) = est
+            xp = r00 * px + r01 * py + r02 * pz + tx
+            yp = r10 * px + r11 * py + r12 * pz + ty
+            zp = r20 * px + r21 * py + r22 * pz + tz
+            in_front = zp > 1e-6
+            z_safe = jnp.where(in_front, zp, 1.0)
+            u = (fx * xp + cx * zp) / z_safe
+            v = (fy * yp + cy * zp) / z_safe
+            du = u - coli
+            dv = v - rowi
+            in_ball = (du > -rad) & (du < rad) & (dv > -rad) & (dv < rad)
+            x0 = jnp.floor(u)
+            y0 = jnp.floor(v)
+            in_bounds = (
+                (x0 >= 0.0) & (y0 >= 0.0)
+                & (x0 + 1.0 <= float(image_w - 1))
+                & (y0 + 1.0 <= float(image_h - 1))
+            )
+            valid = (in_ball & in_bounds & in_front).astype(jnp.float32)
+
+            acc_ref[...] = jnp.zeros((hp, wp), jnp.float32)
+            for ky in range(-radius, radius + 1):
+                a = radius + ky
+                pa = a % stride
+                qa = a // stride
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(dv - ky))
+                for pb in range(stride):
+                    plane_idx = pa * stride + pb
+                    row = pltpu.roll(
+                        planes_ref[0, plane_idx], (ph - qa) % ph, axis=0
+                    )
+                    for kx in range(-radius, radius + 1):
+                        b = radius + kx
+                        if b % stride != pb:
+                            continue
+                        qb = b // stride
+                        shifted = pltpu.roll(
+                            row, (pw - qb) % pw, axis=1
+                        )[:hp, :wp]
+                        wx = jnp.maximum(0.0, 1.0 - jnp.abs(du - kx))
+                        acc_ref[...] = acc_ref[...] + (wy * wx) * shifted
+
+            res = jnp.where(valid > 0.0, acc_ref[...] - gray, 0.0)
+            rsq = res * res
+            count = jnp.sum(valid)
+            count_safe = jnp.maximum(count, 1.0)
+            lam = wlam
+            if use_tweights:
+                dofc = jnp.float32(dof)
+                for _ in range(unroll):
+                    w_est = (dofc + 1.0) / (dofc + rsq * lam)
+                    sigma_sq = jnp.sum(valid * rsq * w_est)
+                    if normalize_scale:
+                        sigma_sq = sigma_sq / count_safe
+                    lam = 1.0 / jnp.maximum(sigma_sq, 1e-20)
+                weights = valid * (dofc + 1.0) / (dofc + rsq * lam)
+            else:
+                weights = valid
+            jw = [jac_ref[0, i] * weights for i in range(6)]
+            h21 = tuple(
+                jnp.sum(jw[i] * jac_ref[0, j])
+                for i in range(6)
+                for j in range(i, 6)
+            )
+            rhs = tuple(-jnp.sum(jw[i] * res) for i in range(6))
+            err = jnp.sum(weights * rsq) / count_safe
+            return h21, rhs, err, count, lam
+
+        zero = jnp.float32(0.0)
+        carry0 = (
+            jnp.int32(0),                     # it
+            jnp.bool_(False),                 # done
+            jnp.float32(lm_lambda0),          # trust-region lambda
+            scal_ref[bi, 32],                 # weight lambda (warm IRLS)
+            jnp.float32(fmax),                # err_acc
+            zero,                             # count_acc
+            est0, anchor0, est0, anchor0,     # est/anchor acc + try
+            tuple(zero for _ in range(21)),   # hess_acc
+            tuple(zero for _ in range(6)),    # rhs_acc
+        )
+
+        def cond(c):
+            it, done = c[0], c[1]
+            return jnp.logical_and(~done, it < max_iterations)
+
+        def body(c):
+            (it, done, lm_lam, wlam, err_acc, count_acc,
+             est_acc, anchor_acc, est_try, anchor_try,
+             hess_acc, rhs_acc) = c
+            h21, rhs, err, count, wlam2 = evaluate(est_try, wlam)
+            ok_eval = jax.lax.is_finite(err) & (count >= 6.0)
+            take = (err < err_acc) & ok_eval
+
+            def sel(new, old):
+                return tuple(jnp.where(take, n, o) for n, o in zip(new, old))
+
+            est_acc = sel(est_try, est_acc)
+            anchor_acc = sel(anchor_try, anchor_acc)
+            hess_acc = sel(h21, hess_acc)
+            rhs_acc = sel(rhs, rhs_acc)
+            err_acc = jnp.where(take, err, err_acc)
+            count_acc = jnp.where(take, count, count_acc)
+            lm_lam = jnp.where(take, lm_lam * lm_down, lm_lam * lm_up)
+            lm_lam = jnp.clip(lm_lam, 1e-10, lm_lambda_max)
+
+            trace = (
+                hess_acc[0] + hess_acc[6] + hess_acc[11]
+                + hess_acc[15] + hess_acc[18] + hess_acc[20]
+            )
+            floor = 1e-8 * (1.0 + trace)
+            difn = [0, 6, 11, 15, 18, 20]
+            damped = tuple(
+                h + (lm_lam * h + floor if k in difn else 0.0)
+                for k, h in enumerate(hess_acc)
+            )
+            delta = _chol_solve6(damped, rhs_acc)
+            okd = jnp.bool_(True)
+            for dcomp in delta:
+                okd = okd & jax.lax.is_finite(dcomp)
+            ok = okd & (count_acc >= 6.0)
+            delta = tuple(jnp.where(ok, dcomp, 0.0) for dcomp in delta)
+
+            pred = sum(dcomp * r for dcomp, r in zip(delta, rhs_acc))
+            pred = pred / jnp.maximum(count_acc, 1.0)
+            converged = pred < tolerance
+            converged = converged | (
+                (rel >= 0.0) & (pred < rel * jnp.abs(err_acc))
+            )
+            done2 = (
+                done | (converged & ok_eval) | ~ok
+                | (lm_lam >= lm_lambda_max)
+            )
+
+            inc = _se3_exp_scalars(delta)
+            inc_inv = _inverse(inc)
+            apply_final = converged & ok_eval & ok
+
+            def sel2(pred_s, new, old):
+                return tuple(
+                    jnp.where(pred_s, n, o) for n, o in zip(new, old)
+                )
+
+            est_acc = sel2(apply_final, _compose(inc, est_acc), est_acc)
+            anchor_acc = sel2(
+                apply_final, _compose(inc_inv, anchor_acc), anchor_acc
+            )
+            move = ~done2
+            est_try = sel2(move, _compose(inc, est_acc), est_acc)
+            anchor_try = sel2(
+                move, _compose(inc_inv, anchor_acc), anchor_acc
+            )
+            return (
+                it + 1, done2, lm_lam, wlam2, err_acc, count_acc,
+                est_acc, anchor_acc, est_try, anchor_try,
+                hess_acc, rhs_acc,
+            )
+
+        final = jax.lax.while_loop(cond, body, carry0)
+        (it, done, lm_lam, wlam, err_acc, count_acc,
+         est_acc, anchor_acc, _et, _at, _h, _r) = final
+
+        for k in range(12):
+            out_ref[bi, k] = est_acc[k]
+            out_ref[bi, 16 + k] = anchor_acc[k]
+        for k in range(3):
+            out_ref[bi, 12 + k] = 0.0
+            out_ref[bi, 28 + k] = 0.0
+        out_ref[bi, 15] = 1.0
+        out_ref[bi, 31] = 1.0
+        out_ref[bi, 32] = wlam
+        out_ref[bi, 33] = lm_lam
+        out_ref[bi, 34] = jnp.where(err_acc >= fmax, fmax, err_acc)
+        out_ref[bi, 35] = count_acc
+        out_ref[bi, 36] = it.astype(jnp.float32)
+        for k in range(37, _OUT_COLS):
+            out_ref[bi, k] = 0.0
+        del done
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "grid_stride", "image_h", "image_w", "dof", "unroll",
+        "use_tweights", "normalize_scale", "tolerance", "lm_lambda0",
+        "lm_up", "lm_down", "lm_lambda_max", "max_iterations", "interpret",
+    ),
+)
+def lm_level_pallas(
+    planes: jnp.ndarray,
+    points: jnp.ndarray,
+    gray_prev: jnp.ndarray,
+    jac_planes: jnp.ndarray,
+    scal: jnp.ndarray,
+    radius: int,
+    grid_stride: int,
+    image_h: int,
+    image_w: int,
+    dof: float,
+    unroll: int,
+    use_tweights: bool,
+    normalize_scale: bool,
+    tolerance: float,
+    lm_lambda0: float,
+    lm_up: float,
+    lm_down: float,
+    lm_lambda_max: float,
+    max_iterations: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the level-fused LM solver over a (B,)-grid.
+
+    planes (B, s^2, ph, pw) f32; points (B, 3, H', W') f32 camera-frame
+    template points with NaN at invalid-depth pixels; gray_prev
+    (B, H', W') f32; jac_planes (B, 6, H', W') f32; scal (B, 40) f32
+    per-element scalar row (layout at ``_IN_COLS``).
+    -> (B, _OUT_COLS) f32 rows (layout at ``_OUT_COLS``).
+    """
+    b, _, ph, pw = planes.shape
+    hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
+    kernel = _level_kernel(
+        radius, hp, wp, grid_stride, image_h, image_w, dof, unroll,
+        use_tweights, normalize_scale, tolerance, lm_up, lm_down,
+        lm_lambda_max, max_iterations, lm_lambda0,
+    )
+    grid_plane = lambda i: (i, 0, 0)  # noqa: E731
+    img_spec = lambda: pl.BlockSpec(  # noqa: E731
+        (1, hp, wp), grid_plane, memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, grid_stride * grid_stride, ph, pw),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, hp, wp), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            img_spec(),
+            pl.BlockSpec(
+                (1, 6, hp, wp), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (b, _IN_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, _OUT_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, _OUT_COLS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
+        interpret=interpret,
+    )(planes, points, gray_prev, jac_planes, scal)
+
+
+def solve_level_fused(
+    planes: jnp.ndarray,
+    cu: jnp.ndarray,
+    cv: jnp.ndarray,
+    depth_prev_m: jnp.ndarray,
+    gray_prev: jnp.ndarray,
+    jac_planes: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    estimate0: jnp.ndarray,
+    anchor0: jnp.ndarray,
+    wlam0: jnp.ndarray,
+    rel: jnp.ndarray | None,
+    image_h: int,
+    image_w: int,
+    radius: int,
+    grid_stride: int,
+    dof: float,
+    unroll: int,
+    use_tweights: bool,
+    normalize_scale: bool,
+    tolerance: float,
+    lm_lambda0: float,
+    lm_up: float,
+    lm_down: float,
+    lm_lambda_max: float,
+    max_iterations: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray, jnp.ndarray]:
+    """Batch-shaped wrapper: one level solved end-to-end on-chip.
+
+    depth_prev_m / gray_prev (..., H', W') on the strided grid;
+    planes (..., s^2, ph, pw) frozen windows; cu/cv (...,) int32;
+    intrinsics (..., 3, 3) or (3, 3); estimate0/anchor0 (..., 4, 4);
+    wlam0 (...,); rel (...,) runtime relative tolerance or None.
+    Returns (est, anchor, wlam, err, count, iterations_max).
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True
+    batch_shape = gray_prev.shape[:-2]
+    hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
+
+    flat = lambda x: x.reshape((-1,) + x.shape[len(batch_shape):])  # noqa: E731
+    gray_f = flat(gray_prev.astype(jnp.float32))
+    depth_f = flat(depth_prev_m)
+    planes_f = flat(planes)
+    jac_f = flat(jac_planes.astype(jnp.float32))
+    est_f = flat(jnp.broadcast_to(estimate0, batch_shape + (4, 4)))
+    anc_f = flat(jnp.broadcast_to(anchor0, batch_shape + (4, 4)))
+    b = gray_f.shape[0]
+
+    kmat = jnp.broadcast_to(intrinsics, batch_shape + (3, 3))
+    kflat = flat(kmat)
+    # Camera-frame template points on the strided grid (deproject_grid
+    # semantics, ops/residuals.py), with NaN poisoning invalid depth so
+    # every in-kernel validity comparison fails there.
+    kinv = jnp.linalg.inv(kflat)
+    ugrid = jnp.arange(wp, dtype=jnp.float32) * grid_stride
+    vgrid = jnp.arange(hp, dtype=jnp.float32) * grid_stride
+
+    def coef(i, j):
+        return kinv[:, i, j][:, None, None]
+
+    ray_x = coef(0, 0) * ugrid[None, None, :] + coef(0, 1) * vgrid[None, :, None] + coef(0, 2)
+    ray_y = coef(1, 0) * ugrid[None, None, :] + coef(1, 1) * vgrid[None, :, None] + coef(1, 2)
+    px = ray_x * depth_f
+    pyy = ray_y * depth_f
+    nan = jnp.float32(jnp.nan)
+    okd = depth_f > 0.0
+    points = jnp.stack(
+        [
+            jnp.where(okd, px, nan),
+            jnp.where(okd, pyy, nan),
+            jnp.where(okd, depth_f, nan),
+        ],
+        axis=1,
+    )
+
+    scal = jnp.zeros((b, _IN_COLS), jnp.float32)
+    scal = scal.at[:, 0:16].set(est_f.reshape(b, 16))
+    scal = scal.at[:, 16:32].set(anc_f.reshape(b, 16))
+    scal = scal.at[:, 32].set(
+        jnp.broadcast_to(wlam0, batch_shape).reshape(-1)
+    )
+    scal = scal.at[:, 33].set(kflat[:, 0, 0])
+    scal = scal.at[:, 34].set(kflat[:, 1, 1])
+    scal = scal.at[:, 35].set(kflat[:, 0, 2])
+    scal = scal.at[:, 36].set(kflat[:, 1, 2])
+    scal = scal.at[:, 37].set(
+        jnp.broadcast_to(cu, batch_shape).reshape(-1).astype(jnp.float32)
+    )
+    scal = scal.at[:, 38].set(
+        jnp.broadcast_to(cv, batch_shape).reshape(-1).astype(jnp.float32)
+    )
+    if rel is None:
+        scal = scal.at[:, 39].set(-1.0)
+    else:
+        scal = scal.at[:, 39].set(
+            jnp.broadcast_to(rel, batch_shape).reshape(-1).astype(jnp.float32)
+        )
+
+    out = lm_level_pallas(
+        planes_f.astype(jnp.float32), points, gray_f, jac_f, scal,
+        radius=radius, grid_stride=grid_stride,
+        image_h=image_h, image_w=image_w, dof=dof, unroll=unroll,
+        use_tweights=use_tweights, normalize_scale=normalize_scale,
+        tolerance=tolerance, lm_lambda0=lm_lambda0, lm_up=lm_up,
+        lm_down=lm_down, lm_lambda_max=lm_lambda_max,
+        max_iterations=max_iterations, interpret=interpret,
+    )
+    est = out[:, 0:16].reshape(-1, 4, 4)
+    anchor = out[:, 16:32].reshape(-1, 4, 4)
+    wlam = out[:, 32]
+    err = out[:, 34]
+    count = out[:, 35]
+    its = jnp.max(out[:, 36]).astype(jnp.int32)
+
+    unflat = lambda x: x.reshape(batch_shape + x.shape[1:])  # noqa: E731
+    return (
+        unflat(est), unflat(anchor), unflat(wlam), unflat(err),
+        unflat(count), its,
+    )

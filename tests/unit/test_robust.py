@@ -348,6 +348,119 @@ class TestSyntheticConvergence:
                 freeze_shift_window=False,
             )
 
+    def _fused_lm_cfg(self, **overrides):
+        from dense_visual_odometry_tpu.config import TWeighterConfig
+
+        base = dict(
+            levels=3, max_iterations=12, use_weighter=True,
+            packed_sampling=True, grid_strides=(2, 1, 1),
+            weighter=TWeighterConfig(scale_subsample=4),
+            shift_stack_radius=3, shift_stack_levels=(0, 1),
+            approximate_image2_gradient=True,
+            relative_tolerance=1e-2, lm_lambda0=1e-4,
+            use_pallas_stack=True, use_fused_iteration=True,
+            freeze_shift_window=True,
+        )
+        base.update(overrides)
+        return RobustDVOConfig(**base)
+
+    def test_level_kernel_matches_lm_loop_translation(self):
+        """The level-fused solver kernel (whole LM loop on-chip,
+        ops/pallas/level_solver.py) must recover the same transform as
+        the XLA LM loop it replaces (interpret mode on CPU)."""
+        tx = 0.01
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        prev = _frame_data(gray1, depth, 3)
+        curr = _frame_data(gray2, depth, 3)
+        results = {}
+        for lk in (False, True):
+            cfg = self._fused_lm_cfg(use_level_kernel=lk)
+            r = track_pair(prev, curr, camera, cfg)
+            assert bool(r.success)
+            results[lk] = np.asarray(r.transform)
+        # Same solve up to Cholesky-vs-LU rounding in the 6x6 system.
+        np.testing.assert_allclose(
+            results[True], results[False], atol=1e-5
+        )
+        assert results[True][0, 3] == pytest.approx(tx, abs=3e-3)
+
+    def test_level_kernel_matches_lm_loop_rotation(self):
+        angle = 0.01
+        v, u = np.meshgrid(
+            np.arange(H, dtype=np.float64),
+            np.arange(W, dtype=np.float64), indexing="ij",
+        )
+        gray1 = _texture(u, v).astype(np.float32)
+        c = np.array([K[0, 2], K[1, 2]])
+        ca, sa = np.cos(angle), np.sin(angle)
+        du, dv = u - c[0], v - c[1]
+        gray2 = _texture(
+            ca * du + sa * dv + c[0], -sa * du + ca * dv + c[1]
+        ).astype(np.float32)
+        depth = np.full((H, W), Z0, dtype=np.float32)
+        camera = CameraModel.create(K, 1.0)
+        prev = _frame_data(gray1, depth, 3)
+        curr = _frame_data(gray2, depth, 3)
+        results = {}
+        for lk in (False, True):
+            cfg = self._fused_lm_cfg(
+                use_level_kernel=lk, max_iterations=30
+            )
+            r = track_pair(prev, curr, camera, cfg)
+            assert bool(r.success)
+            results[lk] = np.asarray(se3.log(r.transform))
+        np.testing.assert_allclose(results[True], results[False], atol=1e-5)
+        assert results[True][5] == pytest.approx(angle, abs=2e-3)
+
+    def test_level_kernel_with_fallback_and_zero_depth(self):
+        """The fallback lax.cond dispatch still works around the level
+        kernel, and an all-invalid-depth pair stays finite (the kernel
+        encodes invalid depth as NaN points; nothing may escape).
+
+        Tracked under jit (make_tracker) like all product callers.
+        The persistent-cache EXECUTABLE SERIALIZER segfaults on this
+        program mid-suite (two giant cond branches: the full XLA LM loop
+        and the interpret-mode level kernel; crash frame
+        ``compilation_cache.put_executable_and_time``) — suppress the
+        cache write for this test only.
+        """
+        import jax
+
+        min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1e9
+        )
+        try:
+            tx = 0.01
+            gray1, gray2, depth = _shifted_pair(tx)
+            cfg = self._fused_lm_cfg(
+                use_level_kernel=True, shift_stack_fallback=True,
+                robust_init_selection=True,
+            )
+            tracker = make_tracker(cfg)
+            r = tracker(
+                _frame_data(gray1, depth, 3), _frame_data(gray2, depth, 3),
+                K,
+            )
+            assert bool(r.success)
+            assert np.asarray(r.transform)[0, 3] == pytest.approx(
+                tx, abs=3e-3
+            )
+            # all-zero depth: must return finite identity-ish, not NaN
+            r0 = tracker(
+                _frame_data(gray1, np.zeros_like(depth), 3),
+                _frame_data(gray2, np.zeros_like(depth), 3),
+                K,
+            )
+            t0 = np.asarray(r0.transform)
+            assert np.all(np.isfinite(t0))
+            assert not bool(r0.success)
+        finally:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", min_secs
+            )
+
     def test_tracker_jit_wrapper(self):
         cfg = RobustDVOConfig(levels=2, max_iterations=20)
         tracker = make_tracker(cfg)
