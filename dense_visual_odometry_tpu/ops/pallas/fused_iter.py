@@ -205,6 +205,15 @@ def fused_iteration_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, _OUT_COLS), jnp.float32),
         scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
+        # The tap loop keeps many full-plane f32 temporaries on Mosaic's
+        # scoped stack; measured need at the level-0 grid inside the
+        # B=128 program is 54.1 MB (compile error without this).  The
+        # v5e has 128 MB VMEM/core; grant 96 MiB of headroom.
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(planes, du, dv, gray_prev, valid, jac_planes, lam0)
 

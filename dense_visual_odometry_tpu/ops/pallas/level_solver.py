@@ -509,6 +509,17 @@ def lm_level_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, _OUT_COLS), jnp.float32),
         scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
+        # The solver keeps many full-plane f32 temporaries live across
+        # the while_loop (weights, residual, 6 weighted-Jacobian planes,
+        # tap temporaries): the scoped stack measured ~18 MB at the
+        # level-0 grid in a B=64 program and grows with the surrounding
+        # program (the sibling fused_iter kernel needs 54 MB at B=128).
+        # The v5e has 128 MB VMEM/core; grant 96 MiB of headroom.
+        compiler_params=(
+            None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+        ),
         interpret=interpret,
     )(planes, points, gray_prev, jac_planes, scal)
 
