@@ -213,6 +213,26 @@ class RobustDVOConfig:
     # motion prior / depth residuals are configured; other levels and
     # the hard-motion fallback branch keep the XLA loop.
     use_level_kernel: bool = False
+    # Per-row-block recentering (level-kernel path only): split the grid
+    # rows into this many blocks and give each its OWN integer window
+    # center, so the shift ball only covers the within-block displacement
+    # spread — rotation/parallax-induced row-dependent displacement stops
+    # forcing a large radius.  Every per-pixel tensor moves to a slab
+    # layout whose halo rows keep the kernel's uniform vertical rolls
+    # from crossing into a neighbor's window (block_layout,
+    # ops/pallas/stackwarp.py).  None/1 = single global center.
+    recenter_blocks: Optional[int] = None
+    # Anisotropic shift ball (block path only): vertical tap radius,
+    # defaulting to ``shift_stack_radius``.  With per-block VERTICAL
+    # recentering the row-structured displacement component (rotation,
+    # forward motion) is absorbed by the block centers, so the vertical
+    # radius can shrink below the horizontal one — (2*ry+1)*(2*rx+1)
+    # taps, e.g. 35 instead of 49 at ry=2, rx=3.  The depth-parallax
+    # spread is mostly horizontal (translation flow ~ fx*t/Z), which is
+    # why the HORIZONTAL radius keeps the full size.  The per-block
+    # coverage trigger judges the anisotropic ball, so scenes violating
+    # the assumption fall back rather than silently losing pixels.
+    shift_stack_radius_y: Optional[int] = None
     # ESM-style gradients (Benhimane & Malis): the precomputed Jacobian
     # uses 0.5 * (grad I1(x) + grad I2(w0(x))) instead of grad I1 alone,
     # where w0 is each LEVEL's starting warp.  The averaged gradient is
@@ -265,6 +285,38 @@ class RobustDVOConfig:
             raise ValueError("lm_lambda0 must be positive or None")
         if self.lm_up <= 1.0 or not (0.0 < self.lm_down < 1.0):
             raise ValueError("need lm_up > 1 and 0 < lm_down < 1")
+        if self.recenter_blocks is not None:
+            if self.recenter_blocks < 1:
+                raise ValueError("recenter_blocks must be >= 1 or None")
+            if self.recenter_blocks > 1:
+                if not self.use_level_kernel:
+                    raise ValueError(
+                        "recenter_blocks > 1 requires use_level_kernel "
+                        "(per-block centers are a level-solver feature)"
+                    )
+                if self.use_esm_gradients:
+                    raise ValueError(
+                        "recenter_blocks is incompatible with "
+                        "use_esm_gradients (the ESM warped image assumes "
+                        "a single frozen window center)"
+                    )
+        if self.shift_stack_radius_y is not None:
+            if self.recenter_blocks is None or self.recenter_blocks < 2:
+                raise ValueError(
+                    "shift_stack_radius_y requires recenter_blocks > 1 "
+                    "(the anisotropic ball is a block-path feature)"
+                )
+            if self.shift_stack_radius_y < 1:
+                raise ValueError("shift_stack_radius_y must be >= 1")
+            if (
+                self.shift_stack_radius is not None
+                and self.shift_stack_radius_y > self.shift_stack_radius
+            ):
+                raise ValueError(
+                    "shift_stack_radius_y must not exceed "
+                    "shift_stack_radius (vertical recentering shrinks "
+                    "the vertical radius, never grows it)"
+                )
         if self.use_esm_gradients:
             if not self.approximate_image2_gradient:
                 raise ValueError(

@@ -407,19 +407,32 @@ def _solve_level(
     use_fallback = cfg.shift_stack_fallback and (
         use_shift_stack or cfg.approximate_image2_gradient
     )
-    if cfg.packed_sampling or use_fallback:
-        # The fallback path samples through the packed-gather warp, so its
-        # inputs are prepared whenever it might run.
-        gray_curr_packed = interp_ops.pack_neighbors(gray_curr)
-    if use_fallback and cfg.approximate_image2_gradient:
-        # Large-motion fallback also abandons the precomputed Jacobian:
-        # grad I1 at unwarped coordinates is simply the wrong descent
-        # direction once the warp is large, so the fallback samples exact
-        # current-image gradients (estimate-independent prep, hoisted).
-        gx2_fb, gy2_fb = grad_ops.sobel(gray_curr)
-        grads_packed_fb = interp_ops.pack_pair_f16(
-            gx2_fb / _SOBEL_GAIN, gy2_fb / _SOBEL_GAIN
-        )
+    gray_curr_packed = (
+        interp_ops.pack_neighbors(gray_curr) if cfg.packed_sampling else None
+    )
+
+    def make_fb_prep():
+        """Gather-path inputs for the hard-motion fallback.
+
+        The fallback samples through the packed-gather warp and (with a
+        precomputed Jacobian configured) abandons it for exact
+        current-image gradients — grad I1 at unwarped coordinates is the
+        wrong descent direction once the warp is large.  Built LAZILY,
+        inside the fallback branch: a ``lax.cond``'s operands are
+        computed eagerly, so hoisting this prep outside the cond charges
+        every easy level for a branch it never takes (measured 7.3
+        ms/batch32 of dead prep on the bundled set,
+        benchmarks/RESULTS.md).
+        """
+        packed = interp_ops.pack_neighbors(gray_curr)
+        if cfg.approximate_image2_gradient:
+            gx2_fb, gy2_fb = grad_ops.sobel(gray_curr)
+            gfb = interp_ops.pack_pair_f16(
+                gx2_fb / _SOBEL_GAIN, gy2_fb / _SOBEL_GAIN
+            )
+        else:
+            gfb = None
+        return packed, gfb
     if cfg.packed_sampling or use_shift_stack:
         # Both fast paths sample gradients from the packed (gx, gy) plane.
         grads_packed = (
@@ -429,7 +442,7 @@ def _solve_level(
     use_prior = cfg.sigma is not None
     inv_cov = jnp.float32(0.0 if cfg.sigma is None else 1.0 / cfg.sigma)
 
-    def eval_mode(mode, estimate, prior_anchor, weight_lambda):
+    def eval_mode(mode, estimate, prior_anchor, weight_lambda, fb_prep=None):
         if mode == "fused":
             from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
                 fused_shift_iteration,
@@ -469,15 +482,17 @@ def _solve_level(
             )
         elif mode == "packed":
             res, jac, valid = warp_residuals_packed(
-                gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
+                gray_prev, depth_prev_m,
+                gray_curr_packed if fb_prep is None else fb_prep[0],
+                intrinsics, estimate,
                 grads_packed=grads_packed,
                 precomputed_jacobian=pre_jac,
                 grid_stride=stride,
             )
         elif mode == "packed_exact":
             res, jac, valid = warp_residuals_packed(
-                gray_prev, depth_prev_m, gray_curr_packed, intrinsics, estimate,
-                grads_packed=grads_packed_fb,
+                gray_prev, depth_prev_m, fb_prep[0], intrinsics, estimate,
+                grads_packed=fb_prep[1],
                 precomputed_jacobian=None,
                 grid_stride=stride,
             )
@@ -542,7 +557,24 @@ def _solve_level(
             cfg.shift_stack_radius if cfg.shift_stack_radius is not None
             else 4
         )
-        cov = shift_coverage(u, v, radius, stride, coord_mask=valid_geom)
+        if use_blocks:
+            # Judge the path that will actually run: per-block centers
+            # keep strictly more pixels than a single global center.
+            from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+                shift_coverage_blocks,
+            )
+
+            cov = shift_coverage_blocks(
+                u, v, radius, stride, cfg.recenter_blocks,
+                coord_mask=valid_geom,
+                radius_y=(
+                    cfg.shift_stack_radius_y
+                    if cfg.shift_stack_radius_y is not None
+                    else radius
+                ),
+            )
+        else:
+            cov = shift_coverage(u, v, radius, stride, coord_mask=valid_geom)
         hard = cov < cfg.shift_fallback_min_coverage
         if cfg.approximate_image2_gradient:
             # Rotation trigger, EVERY approximate-Jacobian level: an
@@ -585,7 +617,65 @@ def _solve_level(
     # and a level that begins hard stays on the robust path throughout.
     rel_eff = cfg.relative_tolerance
     frozen_win = None
-    if use_fused and cfg.freeze_shift_window:
+    frozen_win_blocks = None
+    # Per-row-block recentering rides the level-fused kernel only: each
+    # block of grid rows gets its own integer window center, shrinking
+    # the displacement spread the shift ball must cover (ROADMAP item 1;
+    # ops/pallas/stackwarp.block_layout).
+    use_blocks = (
+        cfg.recenter_blocks is not None
+        and cfg.recenter_blocks > 1
+        and use_fused
+        and cfg.freeze_shift_window
+        and cfg.use_level_kernel
+        and cfg.lm_lambda0 is not None
+        and not use_prior
+        and not use_esm
+    )
+    if use_blocks:
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            compute_recenter_blocks,
+            extract_parity_planes_blocks,
+        )
+        from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
+
+        _, u0, v0, vg0 = _warp_geometry(
+            depth_prev_m, intrinsics, estimate0, stride
+        )
+        radius0 = cfg.shift_stack_radius
+        radius0_y = (
+            cfg.shift_stack_radius_y
+            if cfg.shift_stack_radius_y is not None
+            else radius0
+        )
+        cu0, cv0 = compute_recenter_blocks(
+            u0, v0, radius0, stride, cfg.recenter_blocks, vg0,
+            radius_y=radius0_y,
+        )
+        hp0, wp0 = u0.shape[-2], u0.shape[-1]
+        nblk0 = cu0.shape[-1]
+        if batch_shape:
+            gflat = gray_curr.reshape((-1,) + gray_curr.shape[-2:])
+            planes0 = extract_parity_planes_blocks(
+                gflat,
+                jnp.broadcast_to(cu0, batch_shape + (nblk0,)).reshape(
+                    -1, nblk0
+                ),
+                jnp.broadcast_to(cv0, batch_shape + (nblk0,)).reshape(
+                    -1, nblk0
+                ),
+                hp0, wp0, radius0, stride, cfg.recenter_blocks,
+                radius_y=radius0_y,
+            )
+            planes0 = planes0.reshape(batch_shape + planes0.shape[1:])
+        else:
+            planes0 = extract_parity_planes_blocks(
+                gray_curr[None], cu0[None], cv0[None],
+                hp0, wp0, radius0, stride, cfg.recenter_blocks,
+                radius_y=radius0_y,
+            )[0]
+        frozen_win_blocks = (planes0, cu0, cv0)
+    elif use_fused and cfg.freeze_shift_window:
         # Window extraction (pad + dynamic-slice + parity split) depends
         # on the estimate only through the INTEGER recentering offsets,
         # which move subpixel within a level: extract once at the level's
@@ -677,19 +767,21 @@ def _solve_level(
                 hard0, cfg.fallback_tolerance_scale, 1.0
             )
 
-    def evaluate(estimate, prior_anchor, weight_lambda):
+    def evaluate(estimate, prior_anchor, weight_lambda, fb_prep=None):
         if use_fallback:
             fb_mode = (
                 "packed_exact" if cfg.approximate_image2_gradient else "packed"
             )
+            if fb_prep is None:
+                fb_prep = make_fb_prep()
             # One scalar predicate for the whole batch: mixed batches take
             # the always-correct gather path; the common small-warp case
             # keeps full fast-path speed.
             return jax.lax.cond(
                 need_fb0,
-                lambda args: eval_mode(fb_mode, *args),
-                lambda args: eval_mode(default_mode, *args),
-                (estimate, prior_anchor, weight_lambda),
+                lambda args: eval_mode(fb_mode, *args[:3], fb_prep=args[3]),
+                lambda args: eval_mode(default_mode, *args[:3]),
+                (estimate, prior_anchor, weight_lambda, fb_prep),
             )
         return eval_mode(default_mode, estimate, prior_anchor, weight_lambda)
 
@@ -703,7 +795,7 @@ def _solve_level(
     use_level_kernel = (
         cfg.use_level_kernel
         and use_fused
-        and frozen_win is not None
+        and (frozen_win is not None or frozen_win_blocks is not None)
         and cfg.lm_lambda0 is not None
         and not use_prior
     )
@@ -712,7 +804,9 @@ def _solve_level(
             solve_level_fused,
         )
 
-        lk_planes, lk_cu, lk_cv = frozen_win
+        lk_planes, lk_cu, lk_cv = (
+            frozen_win_blocks if use_blocks else frozen_win
+        )
         wlam_init = jnp.full(
             batch_shape, 1.0 / (cfg.weighter.initial_sigma**2), jnp.float32
         )
@@ -740,6 +834,12 @@ def _solve_level(
                 lm_down=cfg.lm_down,
                 lm_lambda_max=cfg.lm_lambda_max,
                 max_iterations=cfg.max_iterations,
+                n_blocks=cfg.recenter_blocks if use_blocks else 1,
+                radius_y=(
+                    cfg.shift_stack_radius_y
+                    if use_blocks and cfg.shift_stack_radius_y is not None
+                    else cfg.shift_stack_radius
+                ),
             )
             diag = LevelDiagnostics(
                 iterations=its, error=err, count=count,
@@ -749,8 +849,19 @@ def _solve_level(
 
         def run_xla_loop(args):
             est_in, anc_in = args
+            # The fallback prep is built HERE, inside the hard-motion
+            # branch of the level cond, so the fast-path branch's program
+            # contains no trace of it (lax.cond branches are lazy; only
+            # their operands are eager).
+            fb_prep = make_fb_prep() if use_fallback else None
+
+            def ev(estimate, prior_anchor, weight_lambda):
+                return evaluate(
+                    estimate, prior_anchor, weight_lambda, fb_prep=fb_prep
+                )
+
             return _lm_loop(
-                evaluate, est_in, anc_in, cfg, batch_shape, rel_eff=rel_eff
+                ev, est_in, anc_in, cfg, batch_shape, rel_eff=rel_eff
             )
 
         if use_fallback:
@@ -768,13 +879,24 @@ def _solve_level(
             hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
         return final_est, diag, hess
 
+    # Non-level-kernel solvers evaluate inside a while body: hoist the
+    # fallback prep out of the loop explicitly (LICM through the inner
+    # cond's operands is not guaranteed).  Cost matches the old
+    # unconditional prep on these paths.
+    fb_prep_hoisted = make_fb_prep() if use_fallback else None
+
+    def evaluate_hoisted(estimate, prior_anchor, weight_lambda):
+        return evaluate(
+            estimate, prior_anchor, weight_lambda, fb_prep=fb_prep_hoisted
+        )
+
     if cfg.lm_lambda0 is not None:
         final_est, final_anchor, final_wlam, diag = _lm_loop(
-            evaluate, estimate0, prior_anchor0, cfg, batch_shape,
+            evaluate_hoisted, estimate0, prior_anchor0, cfg, batch_shape,
             rel_eff=rel_eff,
         )
         if want_hessian:
-            hess = evaluate(final_est, final_anchor, final_wlam)[4]
+            hess = evaluate_hoisted(final_est, final_anchor, final_wlam)[4]
         else:
             hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
         return final_est, diag, hess
@@ -783,7 +905,7 @@ def _solve_level(
         return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
 
     def body(c: _GNCarry) -> _GNCarry:
-        hess, rhs, err, count, photo_hess, lam = evaluate(
+        hess, rhs, err, count, photo_hess, lam = evaluate_hoisted(
             c.estimate, c.prior_anchor, c.weight_lambda
         )
 
@@ -860,7 +982,9 @@ def _solve_level(
         # right after an accepted increment (iteration cap), so re-evaluate
         # once at the final estimate (warm-started IRLS scale); the BA
         # layer (models/slam.py) depends on this being exact.
-        hess = evaluate(final.estimate, final.prior_anchor, final.weight_lambda)[4]
+        hess = evaluate_hoisted(
+            final.estimate, final.prior_anchor, final.weight_lambda
+        )[4]
     else:
         hess = jnp.zeros(batch_shape + (6, 6), jnp.float32)
     return final.estimate, diag, hess

@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 # SMEM scalar-input row layout per batch element:
 #   [0:16) est0 row-major | [16:32) anchor0 | 32 wlam0 | 33 fx | 34 fy
 #   | 35 cx | 36 cy | 37 cu | 38 cv | 39 rel_tolerance (<0 = disabled)
+#   | with n_blocks > 1: [40:40+nblk) per-block cu | [..+nblk) per-block cv
 _IN_COLS = 40
 # SMEM output row layout per batch element:
 #   [0:16) est | [16:32) anchor | 32 wlam | 33 lm_lambda | 34 err
@@ -191,6 +192,7 @@ def _chol_solve6(h21, rhs):
 
 def _level_kernel(
     radius: int,
+    radius_y: int,
     hp: int,
     wp: int,
     stride: int,
@@ -206,6 +208,10 @@ def _level_kernel(
     lm_lambda_max: float,
     max_iterations: int,
     lm_lambda0: float,
+    n_blocks: int = 1,
+    block_rows: int = 0,
+    halo: int = 0,
+    grid_hp: int = 0,
 ):
     fmax = float(jnp.finfo(jnp.float32).max)
 
@@ -223,25 +229,49 @@ def _level_kernel(
         fy = scal_ref[bi, 34]
         cx = scal_ref[bi, 35]
         cy = scal_ref[bi, 36]
-        cuf = scal_ref[bi, 37]
-        cvf = scal_ref[bi, 38]
         rel = scal_ref[bi, 39]
-        # Full-res template coordinates of the strided grid.
-        coli = (
-            jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).astype(
-                jnp.float32
-            )
-            * float(stride)
-            + cuf
+        col_f = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1).astype(
+            jnp.float32
         )
-        rowi = (
-            jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
-                jnp.float32
-            )
-            * float(stride)
-            + cvf
+        row_f = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
+            jnp.float32
         )
-        rad = jnp.float32(radius)
+        if n_blocks > 1:
+            # Slab layout: row j belongs to block k = j // (t + halo);
+            # its grid row is j - k*halo (halo rows duplicate the next
+            # block's first grid rows and are masked out below).  The
+            # per-block centers live in SMEM; the per-row center vectors
+            # are built with nblk-1 threshold compares (static unroll).
+            slab_h = float(block_rows + halo)
+            blk = jnp.zeros((hp, wp), jnp.float32)
+            cu_row = jnp.full((hp, wp), scal_ref[bi, 40], jnp.float32)
+            cv_row = jnp.full(
+                (hp, wp), scal_ref[bi, 40 + n_blocks], jnp.float32
+            )
+            for k in range(1, n_blocks):
+                m = (row_f >= k * slab_h).astype(jnp.float32)
+                blk = blk + m
+                cu_row = cu_row + m * (
+                    scal_ref[bi, 40 + k] - scal_ref[bi, 40 + k - 1]
+                )
+                cv_row = cv_row + m * (
+                    scal_ref[bi, 40 + n_blocks + k]
+                    - scal_ref[bi, 40 + n_blocks + k - 1]
+                )
+            grid_row = row_f - blk * float(halo)
+            interior = (
+                ((row_f - blk * slab_h) < float(block_rows))
+                & (grid_row < float(grid_hp))
+            )
+            coli = col_f * float(stride) + cu_row
+            rowi = grid_row * float(stride) + cv_row
+        else:
+            interior = None
+            # Full-res template coordinates of the strided grid.
+            coli = col_f * float(stride) + scal_ref[bi, 37]
+            rowi = row_f * float(stride) + scal_ref[bi, 38]
+        rad_x = jnp.float32(radius)
+        rad_y = jnp.float32(radius_y)
 
         def affine(base):
             return tuple(scal_ref[bi, base + r * 4 + c]
@@ -262,7 +292,10 @@ def _level_kernel(
             v = (fy * yp + cy * zp) / z_safe
             du = u - coli
             dv = v - rowi
-            in_ball = (du > -rad) & (du < rad) & (dv > -rad) & (dv < rad)
+            in_ball = (
+                (du > -rad_x) & (du < rad_x)
+                & (dv > -rad_y) & (dv < rad_y)
+            )
             x0 = jnp.floor(u)
             y0 = jnp.floor(v)
             in_bounds = (
@@ -270,11 +303,14 @@ def _level_kernel(
                 & (x0 + 1.0 <= float(image_w - 1))
                 & (y0 + 1.0 <= float(image_h - 1))
             )
-            valid = (in_ball & in_bounds & in_front).astype(jnp.float32)
+            ok_px = in_ball & in_bounds & in_front
+            if interior is not None:
+                ok_px = ok_px & interior
+            valid = ok_px.astype(jnp.float32)
 
             acc_ref[...] = jnp.zeros((hp, wp), jnp.float32)
-            for ky in range(-radius, radius + 1):
-                a = radius + ky
+            for ky in range(-radius_y, radius_y + 1):
+                a = radius_y + ky
                 pa = a % stride
                 qa = a // stride
                 wy = jnp.maximum(0.0, 1.0 - jnp.abs(dv - ky))
@@ -436,9 +472,11 @@ def _level_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "radius", "grid_stride", "image_h", "image_w", "dof", "unroll",
-        "use_tweights", "normalize_scale", "tolerance", "lm_lambda0",
-        "lm_up", "lm_down", "lm_lambda_max", "max_iterations", "interpret",
+        "radius", "radius_y", "grid_stride", "image_h", "image_w", "dof",
+        "unroll", "use_tweights", "normalize_scale", "tolerance",
+        "lm_lambda0", "lm_up", "lm_down", "lm_lambda_max",
+        "max_iterations", "interpret", "n_blocks", "block_rows", "halo",
+        "grid_hp",
     ),
 )
 def lm_level_pallas(
@@ -462,22 +500,34 @@ def lm_level_pallas(
     lm_lambda_max: float,
     max_iterations: int,
     interpret: bool = False,
+    n_blocks: int = 1,
+    block_rows: int = 0,
+    halo: int = 0,
+    grid_hp: int = 0,
+    radius_y: int | None = None,
 ) -> jnp.ndarray:
     """Run the level-fused LM solver over a (B,)-grid.
 
     planes (B, s^2, ph, pw) f32; points (B, 3, H', W') f32 camera-frame
     template points with NaN at invalid-depth pixels; gray_prev
-    (B, H', W') f32; jac_planes (B, 6, H', W') f32; scal (B, 40) f32
-    per-element scalar row (layout at ``_IN_COLS``).
-    -> (B, _OUT_COLS) f32 rows (layout at ``_OUT_COLS``).
+    (B, H', W') f32; jac_planes (B, 6, H', W') f32; scal (B, in_cols)
+    f32 per-element scalar row (layout at ``_IN_COLS``).  With
+    ``n_blocks > 1`` every per-pixel input is in block-slab layout
+    (``ops.pallas.stackwarp.slab_stack``) and ``grid_hp`` is the true
+    grid row count. -> (B, _OUT_COLS) f32 rows (layout at ``_OUT_COLS``).
     """
+    if radius_y is None:
+        radius_y = radius
     b, _, ph, pw = planes.shape
     hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
     kernel = _level_kernel(
-        radius, hp, wp, grid_stride, image_h, image_w, dof, unroll,
-        use_tweights, normalize_scale, tolerance, lm_up, lm_down,
+        radius, radius_y, hp, wp, grid_stride, image_h, image_w, dof,
+        unroll, use_tweights, normalize_scale, tolerance, lm_up, lm_down,
         lm_lambda_max, max_iterations, lm_lambda0,
+        n_blocks=n_blocks, block_rows=block_rows, halo=halo,
+        grid_hp=grid_hp,
     )
+    in_cols = scal.shape[-1]
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
     img_spec = lambda: pl.BlockSpec(  # noqa: E731
         (1, hp, wp), grid_plane, memory_space=pltpu.VMEM
@@ -501,7 +551,7 @@ def lm_level_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (b, _IN_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM
+                (b, in_cols), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -551,20 +601,61 @@ def solve_level_fused(
     lm_lambda_max: float,
     max_iterations: int,
     interpret: bool = False,
+    n_blocks: int = 1,
+    radius_y: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Batch-shaped wrapper: one level solved end-to-end on-chip.
 
     depth_prev_m / gray_prev (..., H', W') on the strided grid;
-    planes (..., s^2, ph, pw) frozen windows; cu/cv (...,) int32;
-    intrinsics (..., 3, 3) or (3, 3); estimate0/anchor0 (..., 4, 4);
-    wlam0 (...,); rel (...,) runtime relative tolerance or None.
-    Returns (est, anchor, wlam, err, count, iterations_max).
+    planes (..., s^2, ph, pw) frozen windows; cu/cv (...,) int32 — or,
+    with ``n_blocks > 1``, (..., nblk) per-row-block offsets with
+    ``planes`` in slab layout (``extract_parity_planes_blocks``) while
+    the per-pixel template tensors stay on the PLAIN grid (slab-ified
+    here); intrinsics (..., 3, 3) or (3, 3); estimate0/anchor0
+    (..., 4, 4); wlam0 (...,); rel (...,) runtime relative tolerance or
+    None.  Returns (est, anchor, wlam, err, count, iterations_max).
     """
     if jax.default_backend() != "tpu":
         interpret = True
+    if radius_y is None:
+        radius_y = radius
     batch_shape = gray_prev.shape[:-2]
-    hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
+    grid_hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
+
+    if n_blocks > 1:
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            block_layout,
+            slab_stack,
+        )
+
+        nblk, t_rows, halo = block_layout(
+            grid_hp, n_blocks, radius_y, grid_stride
+        )
+        gray_prev = slab_stack(
+            gray_prev, grid_hp, n_blocks, radius_y, grid_stride
+        )
+        depth_prev_m = slab_stack(
+            depth_prev_m, grid_hp, n_blocks, radius_y, grid_stride
+        )
+        jac_planes = slab_stack(
+            jac_planes, grid_hp, n_blocks, radius_y, grid_stride
+        )
+        # Grid rows of each slab row (halo rows duplicate the next
+        # block's rows; rows past the grid are masked in-kernel).
+        import numpy as _np
+
+        rows = _np.concatenate(
+            [
+                _np.arange(k * t_rows, k * t_rows + t_rows + halo)
+                for k in range(nblk)
+            ]
+        )
+        vgrid_rows = jnp.asarray(rows, jnp.float32) * grid_stride
+    else:
+        nblk, t_rows, halo = 1, 0, 0
+        vgrid_rows = None
+    hp = gray_prev.shape[-2]
 
     flat = lambda x: x.reshape((-1,) + x.shape[len(batch_shape):])  # noqa: E731
     gray_f = flat(gray_prev.astype(jnp.float32))
@@ -582,7 +673,11 @@ def solve_level_fused(
     # every in-kernel validity comparison fails there.
     kinv = jnp.linalg.inv(kflat)
     ugrid = jnp.arange(wp, dtype=jnp.float32) * grid_stride
-    vgrid = jnp.arange(hp, dtype=jnp.float32) * grid_stride
+    vgrid = (
+        jnp.arange(hp, dtype=jnp.float32) * grid_stride
+        if vgrid_rows is None
+        else vgrid_rows
+    )
 
     def coef(i, j):
         return kinv[:, i, j][:, None, None]
@@ -602,7 +697,8 @@ def solve_level_fused(
         axis=1,
     )
 
-    scal = jnp.zeros((b, _IN_COLS), jnp.float32)
+    in_cols = _IN_COLS + (2 * nblk if nblk > 1 else 0)
+    scal = jnp.zeros((b, in_cols), jnp.float32)
     scal = scal.at[:, 0:16].set(est_f.reshape(b, 16))
     scal = scal.at[:, 16:32].set(anc_f.reshape(b, 16))
     scal = scal.at[:, 32].set(
@@ -612,12 +708,20 @@ def solve_level_fused(
     scal = scal.at[:, 34].set(kflat[:, 1, 1])
     scal = scal.at[:, 35].set(kflat[:, 0, 2])
     scal = scal.at[:, 36].set(kflat[:, 1, 2])
-    scal = scal.at[:, 37].set(
-        jnp.broadcast_to(cu, batch_shape).reshape(-1).astype(jnp.float32)
-    )
-    scal = scal.at[:, 38].set(
-        jnp.broadcast_to(cv, batch_shape).reshape(-1).astype(jnp.float32)
-    )
+    if nblk > 1:
+        cu_f = jnp.broadcast_to(cu, batch_shape + (nblk,)).reshape(-1, nblk)
+        cv_f = jnp.broadcast_to(cv, batch_shape + (nblk,)).reshape(-1, nblk)
+        scal = scal.at[:, 40:40 + nblk].set(cu_f.astype(jnp.float32))
+        scal = scal.at[:, 40 + nblk:40 + 2 * nblk].set(
+            cv_f.astype(jnp.float32)
+        )
+    else:
+        scal = scal.at[:, 37].set(
+            jnp.broadcast_to(cu, batch_shape).reshape(-1).astype(jnp.float32)
+        )
+        scal = scal.at[:, 38].set(
+            jnp.broadcast_to(cv, batch_shape).reshape(-1).astype(jnp.float32)
+        )
     if rel is None:
         scal = scal.at[:, 39].set(-1.0)
     else:
@@ -627,12 +731,13 @@ def solve_level_fused(
 
     out = lm_level_pallas(
         planes_f.astype(jnp.float32), points, gray_f, jac_f, scal,
-        radius=radius, grid_stride=grid_stride,
+        radius=radius, radius_y=radius_y, grid_stride=grid_stride,
         image_h=image_h, image_w=image_w, dof=dof, unroll=unroll,
         use_tweights=use_tweights, normalize_scale=normalize_scale,
         tolerance=tolerance, lm_lambda0=lm_lambda0, lm_up=lm_up,
         lm_down=lm_down, lm_lambda_max=lm_lambda_max,
         max_iterations=max_iterations, interpret=interpret,
+        n_blocks=nblk, block_rows=t_rows, halo=halo, grid_hp=grid_hp,
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)

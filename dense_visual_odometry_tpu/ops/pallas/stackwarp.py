@@ -228,6 +228,223 @@ def extract_parity_planes(
     )
 
 
+def block_layout(
+    grid_hp: int, n_blocks: int, radius_y: int, grid_stride: int
+) -> Tuple[int, int, int]:
+    """Slab-layout geometry for per-row-block recentering.
+
+    The grid's rows are split into ``n_blocks`` contiguous blocks of
+    ``t`` rows (the last may be partial); each block gets its OWN
+    integer recentering offset, so the shift ball only has to cover the
+    within-block displacement spread instead of the whole image's — the
+    lever that lets rotation-heavy motion keep a small ``radius``
+    (ROADMAP item 1).  Every per-pixel tensor is laid out as ``n_blocks``
+    stacked slabs of ``t + halo`` rows, where the ``halo`` rows duplicate
+    the next block's first grid rows (masked out of validity) so the
+    kernel's uniform vertical rolls never cross into a slab extracted
+    with a different center.
+
+    -> (n_blocks_effective, t, halo): block count clamped to the grid,
+    grid rows per block, halo rows per slab (= max vertical roll, set by
+    the VERTICAL tap radius).
+    """
+    nblk = max(1, min(n_blocks, grid_hp))
+    t = -(-grid_hp // nblk)
+    nblk = -(-grid_hp // t)
+    halo = (2 * radius_y) // grid_stride
+    return nblk, t, halo
+
+
+def compute_recenter_blocks(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int,
+    grid_stride: int,
+    n_blocks: int,
+    coord_mask: jnp.ndarray | None = None,
+    radius_y: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row-block integer recentering offsets.
+
+    u, v (..., H', W') -> cu, cv (..., nblk) int32, each block's offset
+    the rounded masked mean displacement of its rows (blocks with fewer
+    than 8 valid pixels inherit the global mean).  Same clip convention
+    as :func:`compute_recenter` (+-4x the larger tap radius).
+    """
+    if radius_y is None:
+        radius_y = radius
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    nblk, t, _halo = block_layout(hp, n_blocks, radius_y, s)
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :]
+    dv = v - row[:, None]
+    if coord_mask is not None:
+        mf = coord_mask.astype(jnp.float32)
+    else:
+        mf = jnp.ones(u.shape, jnp.float32)
+    pad = nblk * t - hp
+    padspec = [(0, 0)] * (u.ndim - 2) + [(0, pad), (0, 0)]
+    dub = jnp.pad(du * mf, padspec).reshape(u.shape[:-2] + (nblk, t, wp))
+    dvb = jnp.pad(dv * mf, padspec).reshape(u.shape[:-2] + (nblk, t, wp))
+    mb = jnp.pad(mf, padspec).reshape(u.shape[:-2] + (nblk, t, wp))
+    count = jnp.sum(mb, axis=(-2, -1))
+    denom = jnp.maximum(count, 1.0)
+    mean_du_b = jnp.sum(dub, axis=(-2, -1)) / denom
+    mean_dv_b = jnp.sum(dvb, axis=(-2, -1)) / denom
+    gdenom = jnp.maximum(jnp.sum(count, axis=-1), 1.0)
+    gmean_du = jnp.sum(dub, axis=(-3, -2, -1)) / gdenom
+    gmean_dv = jnp.sum(dvb, axis=(-3, -2, -1)) / gdenom
+    enough = count >= 8.0
+    mean_du_b = jnp.where(enough, mean_du_b, gmean_du[..., None])
+    mean_dv_b = jnp.where(enough, mean_dv_b, gmean_dv[..., None])
+    center_bound = 4 * max(radius, radius_y)
+    cu = jnp.clip(
+        jnp.round(mean_du_b), -center_bound, center_bound
+    ).astype(jnp.int32)
+    cv = jnp.clip(
+        jnp.round(mean_dv_b), -center_bound, center_bound
+    ).astype(jnp.int32)
+    return cu, cv
+
+
+def shift_coverage_blocks(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int,
+    grid_stride: int,
+    n_blocks: int,
+    coord_mask: jnp.ndarray | None = None,
+    radius_y: int | None = None,
+) -> jnp.ndarray:
+    """Fraction of valid pixels kept by PER-BLOCK recentered shift balls.
+
+    The block analogue of :func:`ops.shiftwarp.shift_coverage` — the
+    hard-motion fallback trigger must judge the path that will actually
+    run, and per-block centers keep strictly more pixels than a single
+    global center.  ``radius_y`` sets an anisotropic ball (vertical tap
+    radius; defaults to ``radius``).
+    """
+    if radius_y is None:
+        radius_y = radius
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    nblk, t, _halo = block_layout(hp, n_blocks, radius_y, s)
+    cu, cv = compute_recenter_blocks(
+        u, v, radius, s, n_blocks, coord_mask, radius_y=radius_y
+    )
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :]
+    dv = v - row[:, None]
+    if coord_mask is not None:
+        mf = coord_mask.astype(jnp.float32)
+    else:
+        mf = jnp.ones(u.shape, jnp.float32)
+    pad = nblk * t - hp
+    padspec = [(0, 0)] * (u.ndim - 2) + [(0, pad), (0, 0)]
+    dub = jnp.pad(du, padspec).reshape(u.shape[:-2] + (nblk, t, wp))
+    dvb = jnp.pad(dv, padspec).reshape(u.shape[:-2] + (nblk, t, wp))
+    mb = jnp.pad(mf, padspec).reshape(u.shape[:-2] + (nblk, t, wp))
+    dub = dub - cu[..., None, None].astype(jnp.float32)
+    dvb = dvb - cv[..., None, None].astype(jnp.float32)
+    in_ball = (
+        (dub > -radius) & (dub < radius)
+        & (dvb > -radius_y) & (dvb < radius_y)
+    )
+    kept = jnp.sum(in_ball.astype(jnp.float32) * mb, axis=(-3, -2, -1))
+    denom = jnp.maximum(jnp.sum(mb, axis=(-3, -2, -1)), 1.0)
+    return kept / denom
+
+
+def slab_stack(
+    x: jnp.ndarray, grid_hp: int, n_blocks: int, radius_y: int,
+    grid_stride: int,
+) -> jnp.ndarray:
+    """Re-lay a per-pixel tensor (..., H', W') into block-slab layout.
+
+    Each block's slab carries its ``t`` grid rows plus ``halo`` rows
+    duplicating the next block's first grid rows (static slices + one
+    concat — no gathers).  Pad rows (past the grid) are zero.
+    -> (..., nblk*(t+halo), W').
+    """
+    nblk, t, halo = block_layout(grid_hp, n_blocks, radius_y, grid_stride)
+    pad_to = nblk * t + halo
+    pad = pad_to - x.shape[-2]
+    padspec = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+    xp = jnp.pad(x, padspec)
+    slabs = [xp[..., k * t : k * t + t + halo, :] for k in range(nblk)]
+    return jnp.concatenate(slabs, axis=-2)
+
+
+def extract_parity_planes_blocks(
+    image: jnp.ndarray,
+    cu: jnp.ndarray,
+    cv: jnp.ndarray,
+    grid_hp: int,
+    grid_wp: int,
+    radius: int,
+    grid_stride: int = 1,
+    n_blocks: int = 1,
+    radius_y: int | None = None,
+) -> jnp.ndarray:
+    """Block-recentered window extraction + parity split (slab layout).
+
+    image (B, H, W), cu/cv (B, nblk) int32 per-block offsets ->
+    planes (B, s^2, nblk*(t+halo), pw) f32 where each slab satisfies the
+    :func:`extract_parity_planes` invariant with ITS block's center:
+    for grid row m in block k (slab row m - k*t), tap (ky, kx) reads
+    image[s*m + cv[k] + ky, s*n + cu[k] + kx] with ky in [-radius_y,
+    radius_y] and kx in [-radius, radius] (anisotropic ball; radius_y
+    defaults to radius — per-block vertical recentering usually lets the
+    vertical radius shrink below the horizontal one).
+    """
+    if radius_y is None:
+        radius_y = radius
+    s = grid_stride
+    nblk, t, halo = block_layout(grid_hp, n_blocks, radius_y, s)
+    slab_h = t + halo
+    center_bound = 4 * max(radius, radius_y)
+    img = image.astype(jnp.float32)
+    pad_r = radius_y + center_bound
+    pad_c = radius + center_bound
+    # The last block's window can reach (nblk*t + halo)*s past the grid
+    # origin; give the bottom enough slack for that plus the clip bound.
+    extra_bottom = (nblk * t - grid_hp + halo + 1) * s + s
+    padded = jnp.pad(
+        img, [(0, 0), (pad_r, pad_r + extra_bottom), (pad_c, pad_c)]
+    )
+    win_h = slab_h * s
+    win_w = (grid_wp - 1) * s + 1 + 2 * radius
+
+    def slice_one(im, sy, sx):
+        return jax.lax.dynamic_slice(
+            im, (center_bound + sy, center_bound + sx), (win_h, win_w)
+        )
+
+    base = (jnp.arange(nblk, dtype=jnp.int32) * (t * s))[None, :]
+    windows = jax.vmap(
+        jax.vmap(slice_one, in_axes=(None, 0, 0)), in_axes=(0, 0, 0)
+    )(padded, cv + base, cu)  # (B, nblk, win_h, win_w)
+
+    pw = (2 * radius) // s + grid_wp
+    plane_pad_w = pw * s - win_w + s
+    windows = jnp.pad(
+        windows, [(0, 0), (0, 0), (0, 0), (0, max(plane_pad_w, 0))]
+    )
+    planes = jnp.stack(
+        [
+            windows[:, :, p::s, q::s][:, :, :slab_h, :pw]
+            for p in range(s)
+            for q in range(s)
+        ],
+        axis=1,
+    )  # (B, s^2, nblk, slab_h, pw)
+    b = planes.shape[0]
+    return planes.reshape(b, s * s, nblk * slab_h, pw)
+
+
 def prepare_shift_stack(
     image: jnp.ndarray,
     u: jnp.ndarray,
