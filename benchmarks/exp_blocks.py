@@ -64,29 +64,33 @@ def main() -> None:
     eye = jnp.eye(4, dtype=jnp.float32)
 
     def timed(name, fn):
-        def looped(seed):
+        # Frame data passes as ARGUMENTS, not closure constants: captured
+        # device arrays embed in the HLO as literals, and at B=128 the
+        # resulting program exceeds the tunnel's remote-compile request
+        # limit (HTTP 413).
+        def looped(seed, pb, cb):
             def body(_, s):
-                out = fn(s)
+                out = fn(s, pb, cb)
                 return jnp.asarray(out, jnp.float32).ravel()[0] * 1e-30
             return jax.lax.fori_loop(0, n, body, seed)
 
         g = jax.jit(looped)
         t0 = time.perf_counter()
-        np.asarray(g(jnp.float32(0.0)))
+        np.asarray(g(jnp.float32(0.0), prev_b, curr_b))
         print(f"  [{name}: compile+warm {time.perf_counter() - t0:.0f}s]",
               flush=True)
         best = []
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(g(jnp.float32(0.0)))
+            np.asarray(g(jnp.float32(0.0), prev_b, curr_b))
             best.append((time.perf_counter() - t0) * 1e3 / n)
         ms = sorted(best)[1]
         print(f"{name:38s} {ms:8.2f} ms/batch{args.batch}", flush=True)
         return ms
 
-    def track(s, c):
+    def track(s, pb, cb, c):
         init = eye + s * jnp.zeros((4, 4), jnp.float32)
-        out = batched_track_pair(prev_b, curr_b, k, c, init_guess=init)
+        out = batched_track_pair(pb, cb, k, c, init_guess=init)
         return out.transform[..., 0, 0].sum()
 
     variants = {
@@ -97,14 +101,17 @@ def main() -> None:
         f"blocks={args.blocks} r=2": dataclasses.replace(
             cfg, recenter_blocks=args.blocks, shift_stack_radius=2
         ),
+        f"blocks={args.blocks} rx=3 ry=2": dataclasses.replace(
+            cfg, recenter_blocks=args.blocks, shift_stack_radius_y=2
+        ),
     }
 
     transforms = {}
     for name, c in variants.items():
         transforms[name] = np.asarray(
-            jax.jit(lambda c=c: batched_track_pair(
-                prev_b, curr_b, k, c, init_guess=eye
-            ).transform)()
+            jax.jit(lambda pb, cb, c=c: batched_track_pair(
+                pb, cb, k, c, init_guess=eye
+            ).transform)(prev_b, curr_b)
         )
     base = transforms["shipped (r=3, 1 center)"]
     for name, t in transforms.items():
@@ -112,7 +119,7 @@ def main() -> None:
         print(f"{name}: max |dT| rot {dt[..., :3, :3].max():.2e}  "
               f"trans {dt[..., :3, 3].max():.2e} m", flush=True)
 
-    ms = {name: timed(name, lambda s, c=c: track(s, c))
+    ms = {name: timed(name, lambda s, pb, cb, c=c: track(s, pb, cb, c))
           for name, c in variants.items()}
     base_ms = ms["shipped (r=3, 1 center)"]
     for name, m in ms.items():

@@ -165,6 +165,18 @@ class RobustDVOConfig:
     # direction reversals, where extrapolating the last motion lands
     # OUTSIDE the convergence basin that identity is still inside.
     robust_init_selection: bool = False
+    # Multi-hypothesis warm start (generalizes ``robust_init_selection``
+    # from the {identity, guess} pair to a LADDER of hypotheses along the
+    # constant-velocity direction): score exp(a * log(init_guess)) for
+    # each scale ``a`` at the coarsest level and start the cascade from
+    # the per-batch-element argmin.  A ladder like (0, 0.5, 1, 1.5)
+    # covers stop / deceleration / constant velocity / acceleration; each
+    # extra hypothesis costs one quarter-resolution coarse warp (~2k
+    # packed gathers), negligible next to a single LM iteration.  0.0
+    # (identity) and 1.0 (the guess) are always scored even if absent
+    # from the tuple.  Requires ``robust_init_selection``; None keeps the
+    # plain two-candidate selector.
+    init_scale_ladder: Optional[Tuple[float, ...]] = None
     # Fully-fused Pallas GN iteration at the shift-stack levels
     # (ops/pallas/fused_iter.py): tap accumulation, residual, t-IRLS scale
     # fixed point, weights and the H/b/err/count reduction in ONE kernel —
@@ -316,6 +328,15 @@ class RobustDVOConfig:
                     "shift_stack_radius_y must not exceed "
                     "shift_stack_radius (vertical recentering shrinks "
                     "the vertical radius, never grows it)"
+                )
+        if self.init_scale_ladder is not None:
+            object.__setattr__(
+                self, "init_scale_ladder", tuple(self.init_scale_ladder)
+            )
+            if not self.robust_init_selection:
+                raise ValueError(
+                    "init_scale_ladder requires robust_init_selection "
+                    "(the ladder extends the warm-start selector)"
                 )
         if self.use_esm_gradients:
             if not self.approximate_image2_gradient:

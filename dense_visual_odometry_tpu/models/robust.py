@@ -1087,15 +1087,44 @@ def track_pair(
             jnp.float32,
         )
         k_sel = half @ camera.at(lvl)
-        err_guess = _initial_photometric_error(
-            gp_sel, dp_sel, packed_sel, k_sel, estimate
-        )
-        err_eye = _initial_photometric_error(
-            gp_sel, dp_sel, packed_sel, k_sel, eye
-        )
-        estimate = jnp.where(
-            (err_eye < err_guess)[..., None, None], eye, estimate
-        )
+        if cfg.init_scale_ladder is not None:
+            # Multi-hypothesis ladder along the constant-velocity screw:
+            # candidates exp(a * log(guess)).  a=0 reproduces identity
+            # exactly (exp(0) = I), a=1 the guess; intermediate /
+            # extrapolated scales cover deceleration and acceleration.
+            # All candidates share one geometry pattern, so scoring is C
+            # quarter-res warps — selection logic, not solver work.
+            scales = sorted(set((0.0, 1.0) + tuple(cfg.init_scale_ladder)))
+            xi = se3.log(estimate)
+            cands = jnp.stack(
+                [se3.exp(jnp.float32(a) * xi) for a in scales]
+            )
+            errs = jnp.stack(
+                [
+                    _initial_photometric_error(
+                        gp_sel, dp_sel, packed_sel, k_sel, cands[i]
+                    )
+                    for i in range(len(scales))
+                ]
+            )
+            # Stable tie-break: argmin returns the FIRST minimal index,
+            # and scales are sorted ascending, so ties prefer the
+            # smaller motion (identity over an equal-scoring guess —
+            # matching the two-candidate selector's `<` semantics).
+            best = jnp.argmin(errs, axis=0)
+            onehot = jax.nn.one_hot(best, len(scales), dtype=jnp.float32)
+            onehot = jnp.moveaxis(onehot, -1, 0)
+            estimate = jnp.einsum("c...,c...ij->...ij", onehot, cands)
+        else:
+            err_guess = _initial_photometric_error(
+                gp_sel, dp_sel, packed_sel, k_sel, estimate
+            )
+            err_eye = _initial_photometric_error(
+                gp_sel, dp_sel, packed_sel, k_sel, eye
+            )
+            estimate = jnp.where(
+                (err_eye < err_guess)[..., None, None], eye, estimate
+            )
 
     est_init = estimate
 

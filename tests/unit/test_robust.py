@@ -461,6 +461,91 @@ class TestSyntheticConvergence:
                 "jax_persistent_cache_min_compile_time_secs", min_secs
             )
 
+    def test_init_scale_ladder_validation(self):
+        with pytest.raises(ValueError, match="robust_init_selection"):
+            RobustDVOConfig(init_scale_ladder=(0.5,))
+
+    def test_init_scale_ladder_01_matches_pair_selector(self):
+        """A {0, 1} ladder must reproduce the two-candidate selector."""
+        import dataclasses
+
+        gray1, gray2, depth = _shifted_pair(0.015)
+        prev = _frame_data(gray1, depth, 3)
+        curr = _frame_data(gray2, depth, 3)
+        camera = CameraModel.create(K, 1.0)
+        cfg_a = RobustDVOConfig(
+            levels=3, max_iterations=10, robust_init_selection=True
+        )
+        cfg_b = dataclasses.replace(cfg_a, init_scale_ladder=(0.0, 1.0))
+        guess = np.eye(4, dtype=np.float32)
+        guess[0, 3] = 0.03  # overshoots the true 0.015 m motion
+        ra = track_pair(prev, curr, camera, cfg_a, init_guess=jnp.asarray(guess))
+        rb = track_pair(prev, curr, camera, cfg_b, init_guess=jnp.asarray(guess))
+        np.testing.assert_allclose(
+            np.asarray(ra.transform), np.asarray(rb.transform), atol=1e-6
+        )
+
+    def test_init_scale_ladder_picks_intermediate_scale(self):
+        """Truth = half the guess: the a=0.5 rung starts AT the truth.
+
+        With one level and one iteration the chosen hypothesis dominates
+        the result, so the ladder run must land measurably closer to the
+        true translation than the plain {identity, guess} selector (both
+        of whose candidates are a full |tx| away).
+        """
+        import dataclasses
+
+        tx = 0.02
+        gray1, gray2, depth = _shifted_pair(tx)
+        prev = _frame_data(gray1, depth, 1)
+        curr = _frame_data(gray2, depth, 1)
+        camera = CameraModel.create(K, 1.0)
+        guess = np.eye(4, dtype=np.float32)
+        guess[0, 3] = 2.0 * tx
+        base = RobustDVOConfig(
+            levels=1, max_iterations=1, robust_init_selection=True
+        )
+        ladder = dataclasses.replace(
+            base, init_scale_ladder=(0.5, 1.5)
+        )
+        r_pair = track_pair(
+            prev, curr, camera, base, init_guess=jnp.asarray(guess)
+        )
+        r_lad = track_pair(
+            prev, curr, camera, ladder, init_guess=jnp.asarray(guess)
+        )
+        err_pair = abs(float(np.asarray(r_pair.transform)[0, 3]) - tx)
+        err_lad = abs(float(np.asarray(r_lad.transform)[0, 3]) - tx)
+        assert err_lad < err_pair
+        assert err_lad < 2e-3
+
+    def test_init_scale_ladder_batched_per_element(self):
+        """Per-batch-element argmin: each element gets its own rung."""
+        import dataclasses
+
+        from dense_visual_odometry_tpu.parallel import stack_frame_data
+
+        tx = 0.02
+        g1a, g2a, depth = _shifted_pair(tx)        # truth = 0.5 * guess
+        g1b, g2b, _ = _shifted_pair(2.0 * tx)      # truth = guess
+        prev = stack_frame_data(
+            [_frame_data(g1a, depth, 1), _frame_data(g1b, depth, 1)]
+        )
+        curr = stack_frame_data(
+            [_frame_data(g2a, depth, 1), _frame_data(g2b, depth, 1)]
+        )
+        camera = CameraModel.create(K, 1.0)
+        guess = np.eye(4, dtype=np.float32)
+        guess[0, 3] = 2.0 * tx
+        cfg = RobustDVOConfig(
+            levels=1, max_iterations=1, robust_init_selection=True,
+            init_scale_ladder=(0.5,),
+        )
+        r = track_pair(prev, curr, camera, cfg, init_guess=jnp.asarray(guess))
+        est = np.asarray(r.transform)
+        assert est[0, 0, 3] == pytest.approx(tx, abs=2e-3)
+        assert est[1, 0, 3] == pytest.approx(2.0 * tx, abs=2e-3)
+
     def test_tracker_jit_wrapper(self):
         cfg = RobustDVOConfig(levels=2, max_iterations=20)
         tracker = make_tracker(cfg)
