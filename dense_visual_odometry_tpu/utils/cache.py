@@ -18,14 +18,24 @@ CACHE_ROOT = Path(__file__).resolve().parents[2] / ".jax_cache"
 
 
 def _cpu_fingerprint() -> str:
+    # Hash the full identity block of cpu0, not just model name + flags:
+    # two hosts in this fleet share those two lines yet differ in
+    # stepping/microcode, and XLA bakes stepping-dependent tuning
+    # features (+prefer-no-gather/...) into AOT executables — a
+    # model+flags fingerprint collided and loaded a foreign executable
+    # (SIGILL risk, observed as cpu_aot_loader feature-mismatch errors).
+    keys = (
+        "vendor_id", "cpu family", "model", "model name", "stepping",
+        "microcode", "cache size", "flags",
+    )
     fp = ""
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith(("model name", "flags")):
+                if not line.strip():
+                    break  # end of cpu0's block
+                if line.startswith(keys):
                     fp += line
-                    if fp.count("\n") >= 2:
-                        break
     except OSError:
         import platform
 
