@@ -39,7 +39,8 @@ def parse_args(argv=None):
     p.add_argument("-d", "--data-dir", type=str, default=None)
     p.add_argument("-c", "--config", type=str, default=None)
     p.add_argument("--camera", type=str, default=None, help="camera YAML (tum)")
-    p.add_argument("-o", "--output", type=str, required=True, help="mesh .ply")
+    p.add_argument("-o", "--output", type=str, required=True,
+                   help="mesh path (.ply, or .obj for Wavefront OBJ)")
     p.add_argument("-m", "--method", choices=["robust-dvo", "slam"],
                    default="robust-dvo")
     p.add_argument("--trajectory", type=str, default=None,
@@ -208,7 +209,10 @@ def main(argv=None) -> int:
     )
     out = Path(args.output)
     out.parent.mkdir(parents=True, exist_ok=True)
-    tsdf.save_mesh_ply(out, verts, faces, gray_v)
+    if out.suffix.lower() == ".obj":
+        tsdf.save_mesh_obj(out, verts, faces, gray_v)
+    else:
+        tsdf.save_mesh_ply(out, verts, faces, gray_v)
     logger.info("mesh -> %s", out)
     return 0
 

@@ -403,3 +403,31 @@ def save_mesh_ply(
                 fp.write(f"{x:.6f} {y:.6f} {z:.6f}\n")
         for a, b, c3 in faces:
             fp.write(f"3 {a} {b} {c3}\n")
+
+
+def save_mesh_obj(
+    path,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_gray: Optional[np.ndarray] = None,
+) -> None:
+    """Wavefront OBJ triangle-mesh writer (1-based face indexing).
+
+    Optional per-vertex gray goes out as the nonstandard-but-widely-read
+    ``v x y z r g b`` extension (MeshLab/Blender import it).
+    """
+    from pathlib import Path
+
+    path = Path(path)
+    has_color = vertex_gray is not None and len(vertex_gray) == len(vertices)
+    with path.open("w") as fp:
+        fp.write("# dense-visual-odometry-tpu TSDF mesh\n")
+        if has_color:
+            c = np.clip(vertex_gray, 0, 255).astype(np.float64) / 255.0
+            for (x, y, z), g in zip(vertices, c):
+                fp.write(f"v {x:.6f} {y:.6f} {z:.6f} {g:.4f} {g:.4f} {g:.4f}\n")
+        else:
+            for x, y, z in vertices:
+                fp.write(f"v {x:.6f} {y:.6f} {z:.6f}\n")
+        for a, b, c3 in faces:
+            fp.write(f"f {a + 1} {b + 1} {c3 + 1}\n")

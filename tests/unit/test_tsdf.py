@@ -187,3 +187,27 @@ def test_save_mesh_ply_roundtrip(tmp_path):
     assert f"element face {len(faces)}" in text
     body = [ln for ln in text if ln and not ln[0].isalpha()]
     assert len(body) == len(verts) + len(faces)
+
+
+def test_save_mesh_obj_roundtrip(tmp_path):
+    import numpy as np
+
+    from dense_visual_odometry_tpu.models.tsdf import save_mesh_obj
+
+    cfg = TSDFConfig.around(CENTER, 1.0, resolution=24)
+    verts, faces, gray = extract_mesh(sphere_volume(cfg), cfg)
+    out = tmp_path / "mesh.obj"
+    save_mesh_obj(out, verts, faces, gray)
+    lines = out.read_text().splitlines()
+    v_lines = [ln for ln in lines if ln.startswith("v ")]
+    f_lines = [ln for ln in lines if ln.startswith("f ")]
+    assert len(v_lines) == len(verts)
+    assert len(f_lines) == len(faces)
+    # 1-based indices within range, winding preserved.
+    first = np.array([int(t) for t in f_lines[0].split()[1:]])
+    assert (first >= 1).all() and (first <= len(verts)).all()
+    np.testing.assert_array_equal(first - 1, faces[0])
+    # Vertex coordinates round-trip (first vertex, 3 coords + gray rgb).
+    parts = [float(t) for t in v_lines[0].split()[1:]]
+    np.testing.assert_allclose(parts[:3], verts[0], atol=1e-5)
+    assert len(parts) == 6 and 0.0 <= parts[3] <= 1.0
