@@ -34,5 +34,6 @@ from dense_visual_odometry_tpu.models.tsdf import (  # noqa: F401
     integrate,
     integrate_frames,
     make_volume,
+    save_mesh_obj,
     save_mesh_ply,
 )
