@@ -158,11 +158,15 @@ def test_integrate_updates_weight_and_is_donated_safe():
     assert float(jnp.max(vol.gray)) == pytest.approx(50.0)
 
 
-def test_reconstruct_cli_bundled(tmp_path):
-    """End-to-end: track the (subset) bundled set, fuse, export a mesh."""
+@pytest.mark.parametrize("suffix", ["ply", "obj"])
+def test_reconstruct_cli_bundled(tmp_path, suffix):
+    """End-to-end: track the (subset) bundled set, fuse, export a mesh.
+
+    The output suffix selects the writer (.ply ASCII PLY, .obj Wavefront).
+    """
     from dense_visual_odometry_tpu.apps import reconstruct
 
-    out = tmp_path / "mesh.ply"
+    out = tmp_path / f"mesh.{suffix}"
     rc = reconstruct.main(
         [
             "test", "-o", str(out), "--resolution", "48", "--size", "3",
@@ -170,9 +174,14 @@ def test_reconstruct_cli_bundled(tmp_path):
         ]
     )
     assert rc == 0
-    header = out.read_text().split("end_header")[0]
-    n_verts = int(header.split("element vertex ")[1].split()[0])
-    n_faces = int(header.split("element face ")[1].split()[0])
+    if suffix == "ply":
+        header = out.read_text().split("end_header")[0]
+        n_verts = int(header.split("element vertex ")[1].split()[0])
+        n_faces = int(header.split("element face ")[1].split()[0])
+    else:
+        lines = out.read_text().splitlines()
+        n_verts = sum(1 for ln in lines if ln.startswith("v "))
+        n_faces = sum(1 for ln in lines if ln.startswith("f "))
     assert n_verts > 200 and n_faces > 200
 
 
