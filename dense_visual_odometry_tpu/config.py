@@ -33,6 +33,13 @@ class TWeighterConfig:
     # negligibly).  1 = exact (reference behaviour); weights themselves
     # are always computed at full resolution.
     scale_subsample: int = 1
+    # Warm-start the fixed point from the previous GN iteration's
+    # converged lambda (residuals barely move between iterations, so the
+    # loop then needs 1-3 steps).  False = cold-start every evaluation
+    # from 1/initial_sigma^2 like the reference (t_weighter.py:21-26) —
+    # the converged lambda then lands within ``tolerance`` of the same
+    # fixed point along the reference's exact trajectory (oracle tests).
+    warm_start: bool = True
     # When set, run exactly N unrolled fixed-point steps instead of the
     # convergence-checked while_loop.  Each on-device loop step costs
     # ~0.5 ms of scheduling overhead regardless of its tiny body; with a
@@ -278,6 +285,20 @@ class RobustDVOConfig:
     # gross outliers at discontinuities/occlusions that would otherwise
     # dominate the quadratic depth cost.
     depth_huber_delta: float = 0.03
+    # Reference-parity quirk modes (for the golden-oracle tests,
+    # tests/reference_oracle/): feed RAW ksize-3 Sobel values (gain 8)
+    # into the Jacobian like the reference (jacobian.py:70-71 feeds
+    # cv2.Sobel output unscaled), instead of true intensity derivatives.
+    # Raw gradients shrink every GN step ~8x — correctness-neutral at
+    # convergence, but it changes the iteration trajectory, so exact
+    # step-for-step parity needs the quirk reproduced.
+    raw_sobel_gain: bool = False
+    # Reference-parity quirk #5 (base_robust_dvo.py:194): add the
+    # reference's (dimensionally inconsistent) motion-prior energy term
+    # ``0.5 * sigma * ||log(old)||`` to the scalar error instead of the
+    # consistent ``0.5 * (1/sigma) * ||log(old)||^2``.  Only the stopping
+    # decisions see this scalar; H/b use 1/sigma either way.
+    reference_prior_energy: bool = False
 
     def stride_for_level(self, level: int) -> int:
         if self.grid_strides is not None:

@@ -66,6 +66,22 @@ from dense_visual_odometry_tpu.utils.lie import se3
 _SOBEL_GAIN = 8.0
 
 
+def _prior_energy(
+    cfg: RobustDVOConfig, inv_cov: jnp.ndarray, log_old: jnp.ndarray
+) -> jnp.ndarray:
+    """Motion-prior contribution to the scalar error (stopping decisions).
+
+    Consistent form ``0.5 * (1/sigma) * ||log(old)||^2`` by default; with
+    ``cfg.reference_prior_energy`` the reference's quirk #5 term
+    ``0.5 * sigma * ||log(old)||`` (base_robust_dvo.py:194) so the oracle
+    tests can match its stopping trajectory exactly.
+    """
+    sq = jnp.sum(log_old * log_old, axis=-1)
+    if cfg.reference_prior_energy:
+        return 0.5 * jnp.float32(cfg.sigma) * jnp.sqrt(sq)
+    return 0.5 * inv_cov * sq
+
+
 class FrameData(NamedTuple):
     """Preprocessed per-frame state: gray + metric-depth pyramids.
 
@@ -311,6 +327,9 @@ def _solve_level(
     """
     batch_shape = estimate0.shape[:-2]
     stride = cfg.stride_for_level(level)
+    # Reference-parity quirk mode: raw ksize-3 Sobel (gain 8) straight
+    # into J, like jacobian.py:70-71 (see RobustDVOConfig.raw_sobel_gain).
+    sgain = 1.0 if cfg.raw_sobel_gain else _SOBEL_GAIN
     use_shift_stack = (
         cfg.shift_stack_radius is not None and level in cfg.shift_stack_levels
     )
@@ -337,8 +356,8 @@ def _solve_level(
             # ~95% padding on TPU; the transpose costs more than the
             # kernel itself) and the full-res work the stride discards.
             pre_jac = None
-            g1x_s = (gx1 / _SOBEL_GAIN)[..., ::stride, ::stride]
-            g1y_s = (gy1 / _SOBEL_GAIN)[..., ::stride, ::stride]
+            g1x_s = (gx1 / sgain)[..., ::stride, ::stride]
+            g1y_s = (gy1 / sgain)[..., ::stride, ::stride]
             if use_esm:
                 pre_jac_planes = None  # built from the frozen window below
             else:
@@ -347,8 +366,8 @@ def _solve_level(
                     g1x_s, g1y_s, grid_stride=stride,
                 )
         else:
-            g1x = gx1 / _SOBEL_GAIN
-            g1y = gy1 / _SOBEL_GAIN
+            g1x = gx1 / sgain
+            g1y = gy1 / sgain
             if use_esm:
                 # ESM: average with grad I2 sampled ONCE per level at the
                 # starting warp (nearest through the packed f16 pair
@@ -360,7 +379,7 @@ def _solve_level(
 
                 gx2e, gy2e = grad_ops.sobel(gray_curr)
                 packed_g2 = interp_ops.pack_pair_f16(
-                    gx2e / _SOBEL_GAIN, gy2e / _SOBEL_GAIN
+                    gx2e / sgain, gy2e / sgain
                 )
                 _, u0f, v0f, vg0f = _warp_geometry(
                     depth_prev_m, intrinsics, estimate0, 1
@@ -377,7 +396,7 @@ def _solve_level(
             pre_jac_planes = None
     else:
         gx2, gy2 = grad_ops.sobel(gray_curr)
-        grads = (gx2 / _SOBEL_GAIN, gy2 / _SOBEL_GAIN)
+        grads = (gx2 / sgain, gy2 / sgain)
         pre_jac = None
         pre_jac_planes = None
 
@@ -428,7 +447,7 @@ def _solve_level(
         if cfg.approximate_image2_gradient:
             gx2_fb, gy2_fb = grad_ops.sobel(gray_curr)
             gfb = interp_ops.pack_pair_f16(
-                gx2_fb / _SOBEL_GAIN, gy2_fb / _SOBEL_GAIN
+                gx2_fb / sgain, gy2_fb / sgain
             )
         else:
             gfb = None
@@ -469,7 +488,7 @@ def _solve_level(
                 log_old = se3.log(prior_anchor)
                 hess = hess + inv_cov * jnp.eye(6, dtype=jnp.float32)
                 rhs = rhs + inv_cov * log_old
-                err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
+                err = err + _prior_energy(cfg, inv_cov, log_old)
             return hess, rhs, err, count, photometric_hess, lam
         if mode == "shift":
             res, jac, valid = warp_residuals_shift(
@@ -509,7 +528,7 @@ def _solve_level(
         if cfg.use_weighter:
             weights, weight_lambda = t_distribution_weights_with_scale(
                 res * res, valid, cfg.weighter, event_ndim=2,
-                init_lambda=weight_lambda,
+                init_lambda=weight_lambda if cfg.weighter.warm_start else None,
             )
         else:
             weights = valid.astype(jnp.float32)
@@ -534,7 +553,7 @@ def _solve_level(
             log_old = se3.log(prior_anchor)
             hess = hess + inv_cov * jnp.eye(6, dtype=jnp.float32)
             rhs = rhs + inv_cov * log_old
-            err = err + 0.5 * inv_cov * jnp.sum(log_old * log_old, axis=-1)
+            err = err + _prior_energy(cfg, inv_cov, log_old)
         return hess, rhs, err, sys.count, photometric_hess, weight_lambda
 
     shift_mode = "fused" if use_fused else "shift"
@@ -742,8 +761,8 @@ def _solve_level(
             gwx, gwy = grad_ops.sobel(warped0)
             # Sobel on the strided grid measures d/d(grid step); divide by
             # the stride for d/d(full-res pixel) like the template grads.
-            gwx = gwx / (_SOBEL_GAIN * stride)
-            gwy = gwy / (_SOBEL_GAIN * stride)
+            gwx = gwx / (sgain * stride)
+            gwy = gwy / (sgain * stride)
             # The warped image is zeros outside validity — only average
             # where the whole 3x3 Sobel support was valid (1-px erosion);
             # elsewhere keep the pure template gradient (IC behaviour).
@@ -1096,8 +1115,16 @@ def track_pair(
             # quarter-res warps — selection logic, not solver work.
             scales = sorted(set((0.0, 1.0) + tuple(cfg.init_scale_ladder)))
             xi = se3.log(estimate)
+            # a=1.0 uses the provided estimate VERBATIM, not
+            # exp(1.0 * log(estimate)): so3.log is ill-conditioned near
+            # theta=pi, so the f32 log/exp round-trip could corrupt a
+            # large-rotation warm start that the two-candidate selector
+            # passes through untouched.
             cands = jnp.stack(
-                [se3.exp(jnp.float32(a) * xi) for a in scales]
+                [
+                    estimate if a == 1.0 else se3.exp(jnp.float32(a) * xi)
+                    for a in scales
+                ]
             )
             errs = jnp.stack(
                 [
@@ -1109,8 +1136,14 @@ def track_pair(
             )
             # Stable tie-break: argmin returns the FIRST minimal index,
             # and scales are sorted ascending, so ties prefer the
-            # smaller motion (identity over an equal-scoring guess —
-            # matching the two-candidate selector's `<` semantics).
+            # smaller motion — identity over an equal-scoring guess.
+            # NOTE this is the OPPOSITE of the two-candidate selector
+            # below, which keeps the guess on a tie (err_eye < err_guess
+            # is false): a deliberate deviation, because reachable ties
+            # are pathological here — _initial_photometric_error returns
+            # exactly finfo(f32).max for EVERY low-overlap candidate, and
+            # when all rungs are overlap-penalized the safe start is the
+            # smallest motion, not an arbitrary ladder rung.
             best = jnp.argmin(errs, axis=0)
             onehot = jax.nn.one_hot(best, len(scales), dtype=jnp.float32)
             onehot = jnp.moveaxis(onehot, -1, 0)

@@ -24,6 +24,19 @@ def _cpu_fingerprint() -> str:
     # features (+prefer-no-gather/...) into AOT executables — a
     # model+flags fingerprint collided and loaded a foreign executable
     # (SIGILL risk, observed as cpu_aot_loader feature-mismatch errors).
+    # Round-3 finding: even this full block collides across fleet VMs —
+    # entries compiled elsewhere still load here with cpu_aot_loader
+    # feature-mismatch warnings.  Inspecting those warnings shows the
+    # mismatch is ONLY the LLVM tuning pseudo-features
+    # (+prefer-no-gather/+prefer-no-scatter), never an ISA bit: real ISA
+    # divergence (e.g. avx512* present/absent) appears in cpuinfo
+    # ``flags`` and therefore changes this hash, so colliding hosts can
+    # only differ in vectorizer TUNING — their executables are
+    # execution-safe (no unsupported instruction can be emitted), just
+    # possibly sub-optimally tuned.  We accept that: a cross-host reuse
+    # saves a 10-25 min cold compile.  The multichip dryrun, where a
+    # loud warning tail is itself a failure signal, loads no CPU AOT
+    # entries at all (__graft_entry__.py).
     keys = (
         "vendor_id", "cpu family", "model", "model name", "stepping",
         "microcode", "cache size", "flags",
@@ -44,7 +57,16 @@ def _cpu_fingerprint() -> str:
 
 
 def persistent_cache_dir(platform: str | None = None) -> str:
-    """Cache dir for ``platform`` ('cpu' -> machine-scoped subdir)."""
+    """Cache dir for ``platform`` ('cpu' -> machine-scoped subdir).
+
+    Stale ``cpu-*`` dirs from other hosts are deliberately NOT pruned:
+    sessions bounce between a small fleet of machines, and each dir saves
+    that machine's 10-25 min cold compile on its next visit.  (Widening
+    the fingerprint re-keys every dir once — a one-time recompile per
+    host, noted in CLAUDE.md.)  The multichip dryrun path never loads CPU
+    AOT entries at all (__graft_entry__.py): scoping mitigates the
+    cross-machine SIGILL risk, not-loading eliminates it.
+    """
     if platform == "cpu":
         return str(CACHE_ROOT / f"cpu-{_cpu_fingerprint()}")
     return str(CACHE_ROOT)

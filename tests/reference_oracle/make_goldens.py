@@ -1,0 +1,247 @@
+"""Generate golden reference transforms and compare our solver against them.
+
+Runs the ACTUAL reference solver (pure-Python via the numba stub,
+refbridge.py) on pyr-downsampled bundled frames, records per-pair
+transforms + per-level iteration counts into ``goldens.json``, and prints
+the gap to our reference-semantics config for every oracle case.
+
+Usage:  python -m tests.reference_oracle.make_goldens [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+HERE = Path(__file__).resolve().parent
+GOLDENS_PATH = HERE / "goldens.json"
+
+
+def pyrdown(img: np.ndarray, times: int) -> np.ndarray:
+    """Median blur + decimate, the reference's ``pyrDownMedianSmooth``
+    (image_pyramid.py:19-21) applied as INPUT preparation (identically
+    for both solvers, so the choice does not affect parity)."""
+    import cv2
+
+    for _ in range(times):
+        img = cv2.medianBlur(img, 3)[::2, ::2]
+    return img
+
+
+def load_small_frames(
+    n_frames: int, down: int
+) -> Tuple[List[Tuple[np.ndarray, np.ndarray]], np.ndarray, float]:
+    """Bundled frames downsampled ``down`` times -> (frames, K3, scale)."""
+    from dense_visual_odometry_tpu.io.datasets import (
+        host_gray_u8,
+        load_bundled_sequence,
+    )
+
+    seq = load_bundled_sequence()
+    frames = []
+    for i in range(n_frames):
+        rgb, depth = seq.frame(i)
+        gray = pyrdown(host_gray_u8(rgb), down)
+        depth = pyrdown(np.asarray(depth, np.uint16), down)
+        frames.append((gray, depth))
+    K = np.asarray(seq.camera.at(down), np.float64)[:3, :3]
+    return frames, K, float(seq.camera.depth_scale)
+
+
+# Oracle cases: (name, pyr-down count, frames, reference ctor kwargs).
+# max_iterations is capped (the reference default 100 would run the
+# pure-Python solver for minutes); both solvers get the same cap, so
+# parity is still exact.
+CASES = [
+    (
+        "approx_noweight",
+        3,
+        4,
+        dict(
+            levels=3, use_weighter=False, max_increased_steps_allowed=0,
+            sigma=None, tolerance=1e-6, max_iterations=15,
+            approximate_image2_gradient=True,
+        ),
+    ),
+    (
+        "approx_tweight",
+        3,
+        4,
+        dict(
+            levels=3, use_weighter=True, max_increased_steps_allowed=0,
+            sigma=None, tolerance=1e-6, max_iterations=15,
+            approximate_image2_gradient=True,
+        ),
+    ),
+    (
+        "exact_noweight",
+        4,
+        3,
+        dict(
+            levels=2, use_weighter=False, max_increased_steps_allowed=0,
+            sigma=None, tolerance=1e-6, max_iterations=12,
+            approximate_image2_gradient=False,
+        ),
+    ),
+    # sigma=1e-9 puts the prior in the strongly-binding regime (it moves
+    # the reference's transforms by MILLIMETERS vs sigma=None — measured
+    # 1.7-4.2 mm on these pairs), so this case exercises the full prior
+    # path: H += (1/sigma) I, b += (1/sigma) log(old), per-iteration
+    # old <- inc^-1 old re-anchoring, and the quirk #5 energy term.
+    (
+        "approx_prior",
+        3,
+        4,
+        dict(
+            levels=3, use_weighter=True, max_increased_steps_allowed=0,
+            sigma=1e-9, tolerance=1e-6, max_iterations=15,
+            approximate_image2_gradient=True,
+        ),
+    ),
+]
+
+
+def run_reference_case(case_cfg: dict, down: int, n_frames: int) -> Dict:
+    from tests.reference_oracle.refbridge import run_reference_sequence
+
+    frames, K, scale = load_small_frames(n_frames, down)
+    t0 = time.time()
+    out = run_reference_sequence(frames, K, scale, case_cfg)
+    out["seconds"] = time.time() - t0
+    out["K"] = K
+    out["depth_scale"] = scale
+    return out
+
+
+def ours_config(case_cfg: dict):
+    from dense_visual_odometry_tpu.config import (
+        RobustDVOConfig,
+        TWeighterConfig,
+    )
+
+    return RobustDVOConfig(
+        levels=case_cfg["levels"],
+        use_weighter=case_cfg["use_weighter"],
+        max_increased_steps_allowed=case_cfg["max_increased_steps_allowed"],
+        sigma=case_cfg["sigma"],
+        tolerance=case_cfg["tolerance"],
+        max_iterations=case_cfg["max_iterations"],
+        approximate_image2_gradient=case_cfg["approximate_image2_gradient"],
+        raw_sobel_gain=True,
+        reference_prior_energy=case_cfg["sigma"] is not None,
+        weighter=TWeighterConfig(normalize_scale=False, warm_start=False),
+    )
+
+
+def run_ours_case(case_cfg: dict, down: int, n_frames: int) -> Dict:
+    import jax.numpy as jnp
+
+    from dense_visual_odometry_tpu.camera import CameraModel
+    from dense_visual_odometry_tpu.models.robust import (
+        make_tracker,
+        preprocess_frame,
+    )
+
+    frames, K, scale = load_small_frames(n_frames, down)
+    cam = CameraModel(
+        intrinsics=jnp.asarray(K, jnp.float32), depth_scale=scale
+    )
+    cfg = ours_config(case_cfg)
+    fds = [
+        preprocess_frame(
+            jnp.asarray(gray, jnp.float32),
+            jnp.asarray(depth),
+            cam,
+            levels=cfg.levels,
+            max_distance=cfg.max_distance,
+        )
+        for gray, depth in frames
+    ]
+    # The reference's ``old is not None`` prior guard (base_robust_dvo.py:
+    # 190) never fires via ``step()``: the first frame stores an IDENTITY
+    # last-estimated-transform (base_dense_visual_odometry.py:63,75-77),
+    # so the first pair's prior anchors at identity — exactly our default
+    # ``last_transform=None`` -> eye anchor.
+    run = make_tracker(cfg)
+    transforms = []
+    iters = []
+    last = None
+    for k in range(1, len(fds)):
+        r = run(fds[k - 1], fds[k], cam.intrinsics, last_transform=last)
+        t = np.asarray(r.transform, np.float64)
+        transforms.append(t)
+        iters.append(np.asarray(r.diagnostics.iterations).tolist())
+        last = r.transform
+    return {"transforms": np.stack(transforms), "iters": iters}
+
+
+def compare(ref: Dict, ours: Dict) -> List[Dict]:
+    from dense_visual_odometry_tpu.utils.lie import se3
+    import jax.numpy as jnp
+
+    rows = []
+    for k in range(ref["transforms"].shape[0]):
+        T_ref = ref["transforms"][k]
+        T_ours = ours["transforms"][k]
+        rel = np.linalg.inv(T_ref) @ T_ours
+        xi = np.asarray(se3.log(jnp.asarray(rel, jnp.float32)), np.float64)
+        rows.append(
+            {
+                "pair": k,
+                "d_trans_m": float(np.linalg.norm(xi[:3])),
+                "d_rot_rad": float(np.linalg.norm(xi[3:])),
+                "ref_norm_m": float(np.linalg.norm(T_ref[:3, 3])),
+                "ref_iters": ref["levels"][k],
+                "our_iters": ours["iters"][k],
+            }
+        )
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true", help="write goldens.json")
+    ap.add_argument("--cases", nargs="*", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    goldens = {}
+    for name, down, n_frames, case_cfg in CASES:
+        if args.cases and name not in args.cases:
+            continue
+        print(f"=== {name} (down={down}, frames={n_frames}) ===")
+        ref = run_reference_case(case_cfg, down, n_frames)
+        print(f"  reference ran in {ref['seconds']:.1f}s")
+        ours = run_ours_case(case_cfg, down, n_frames)
+        rows = compare(ref, ours)
+        for r in rows:
+            print(
+                f"  pair {r['pair']}: dT={r['d_trans_m']*1e6:8.1f} um  "
+                f"dR={r['d_rot_rad']*1e6:8.1f} urad  "
+                f"|t_ref|={r['ref_norm_m']*1e3:6.2f} mm  "
+                f"iters ref={r['ref_iters']} ours={r['our_iters']}"
+            )
+        goldens[name] = {
+            "config": case_cfg,
+            "down": down,
+            "n_frames": n_frames,
+            "transforms": ref["transforms"].tolist(),
+            "level_iterations": ref["levels"],
+            "comparison_at_generation": rows,
+        }
+    if args.write:
+        GOLDENS_PATH.write_text(json.dumps(goldens, indent=1))
+        print(f"wrote {GOLDENS_PATH}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,161 @@
+"""Golden parity vs the ACTUAL reference solver.
+
+The reference (``/root/reference/src``) runs pure-Python through the
+numba stub (refbridge.py) on small pyr-downsampled bundled pairs; our
+solver runs its reference-semantics config (``raw_sobel_gain``,
+``reference_prior_energy``, cold-start unnormalized weighter, all fast
+paths off) on the same inputs.  Measured at golden generation
+(make_goldens.py, values in goldens.json):
+
+- approx-gradient configs (plain GN, t-weighter IRLS, binding motion
+  prior sigma=1e-9): transforms agree to < 3 um / 1.5 urad and the
+  per-level iteration counts are IDENTICAL — the stopping semantics
+  (tolerance break before applying the increment, divergence counter,
+  per-iteration prior re-anchor) are reproduced decision-for-decision.
+- exact-gradient config: iteration counts identical, transforms within
+  200 um on ~18 mm motions (~1.1%).  The residual gap is the documented
+  quirk fix: the reference evaluates the warp Jacobian J_w at the
+  UN-transformed points (cpu_robust_dense_visual_odometry.py:168-173
+  computes J_w before applying the estimate) while we evaluate it at the
+  transformed points the chain rule calls for.
+
+Tests skip when the reference mount is absent; the goldens.json
+comparison also runs without it.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from tests.reference_oracle import make_goldens as mg
+from tests.reference_oracle.refbridge import (
+    fixed_interpolate_bilinear,
+    reference_available,
+)
+
+CASES = {name: (down, n, cfg) for name, down, n, cfg in mg.CASES}
+
+# (translation m, rotation rad, iteration counts must match exactly)
+BOUNDS = {
+    "approx_noweight": (3e-5, 1.5e-5, True),
+    "approx_tweight": (3e-5, 1.5e-5, True),
+    "approx_prior": (3e-5, 1.5e-5, True),
+    # Documented quirk gap (J_w evaluation point); see module docstring.
+    "exact_noweight": (1e-3, 5e-4, True),
+}
+
+_OURS_CACHE = {}
+
+
+def _run_ours(name):
+    if name not in _OURS_CACHE:
+        down, n_frames, cfg = CASES[name]
+        _OURS_CACHE[name] = mg.run_ours_case(cfg, down, n_frames)
+    return _OURS_CACHE[name]
+
+
+def _assert_close(rows, name):
+    d_t, d_r, iters_equal = BOUNDS[name]
+    for r in rows:
+        assert r["d_trans_m"] < d_t, (name, r)
+        assert r["d_rot_rad"] < d_r, (name, r)
+        if iters_equal:
+            ref_counts = {int(k): v for k, v in r["ref_iters"].items()}
+            # Our diagnostics stack coarse-to-fine: index 0 = coarsest.
+            levels = sorted(ref_counts, reverse=True)
+            assert [ref_counts[lv] for lv in levels] == r["our_iters"], (
+                name,
+                r,
+            )
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_matches_committed_goldens(name):
+    """Our reference-semantics config reproduces the committed golden
+    transforms (generated from the live reference run)."""
+    goldens = json.loads(mg.GOLDENS_PATH.read_text())[name]
+    ref = {
+        "transforms": np.asarray(goldens["transforms"], np.float64),
+        "levels": goldens["level_iterations"],
+    }
+    rows = mg.compare(ref, _run_ours(name))
+    _assert_close(rows, name)
+
+
+@pytest.mark.skipif(
+    not reference_available(), reason="reference mount not present"
+)
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_matches_live_reference(name):
+    """Run the ACTUAL reference solver and compare transform-for-
+    transform, iteration-count-for-iteration-count."""
+    down, n_frames, cfg = CASES[name]
+    ref = mg.run_reference_case(cfg, down, n_frames)
+    rows = mg.compare(ref, _run_ours(name))
+    _assert_close(rows, name)
+
+
+@pytest.mark.skipif(
+    not reference_available(), reason="reference mount not present"
+)
+def test_live_reference_matches_goldens():
+    """Guard the committed goldens against environment drift: the live
+    reference reproduces them bitwise (pure Python is deterministic)."""
+    goldens = json.loads(mg.GOLDENS_PATH.read_text())
+    name = "approx_noweight"
+    down, n_frames, cfg = CASES[name]
+    ref = mg.run_reference_case(cfg, down, n_frames)
+    stored = np.asarray(goldens[name]["transforms"], np.float64)
+    np.testing.assert_array_equal(ref["transforms"], stored)
+    assert [
+        {int(k): v for k, v in c.items()} for c in ref["levels"]
+    ] == [
+        {int(k): v for k, v in c.items()}
+        for c in goldens[name]["level_iterations"]
+    ]
+
+
+def test_fixed_interp_matches_reference_loop_in_bounds():
+    """The vectorized OOB-fixed interpolation is arithmetic-identical to
+    a direct transliteration of the reference loop body
+    (cpu_robust_dense_visual_odometry.py:226-252) on in-bounds samples,
+    and NaN exactly on the OOB ones."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (13, 17), np.uint8)
+    h, w = img.shape
+    pts = np.stack(
+        [
+            rng.uniform(-2.0, w + 1.0, 400).astype(np.float32),
+            rng.uniform(-2.0, h + 1.0, 400).astype(np.float32),
+        ],
+        axis=1,
+    )
+    got = fixed_interpolate_bilinear(img, pts)
+
+    for i in range(pts.shape[0]):
+        x, y = pts[i]
+        x0 = int(math.floor(x))
+        y0 = int(math.floor(y))
+        x1 = x0 + 1
+        y1 = y0 + 1
+        if (x0 < 0) or (y0 < 0) or (x1 >= w) or (y1 >= h):
+            assert np.isnan(got[i, 0])
+            continue
+        w00 = (x1 - x) * (y1 - y)
+        w01 = (x1 - x) * (y - y0)
+        w10 = (x - x0) * (y1 - y)
+        w11 = (x - x0) * (y - y0)
+        expected = np.float32(
+            (
+                w00 * img[y0, x0]
+                + w01 * img[y1, x0]
+                + w10 * img[y0, x1]
+                + w11 * img[y1, x1]
+            )
+            / ((x1 - x0) * (y1 - y0))
+        )
+        assert got[i, 0] == expected, (i, got[i, 0], expected)
