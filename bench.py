@@ -46,10 +46,11 @@ ITERS = 3
 WATCHDOG_S = float(os.environ.get("DVO_BENCH_WATCHDOG_S", "1500"))
 
 
-def _baseline_fps():
+def _baseline():
     if BASELINE_FILE.exists():
-        return json.loads(BASELINE_FILE.read_text()).get("baseline_fps")
-    return None
+        d = json.loads(BASELINE_FILE.read_text())
+        return d.get("baseline_fps"), d.get("baseline_fps_ceiling")
+    return None, None
 
 
 def _emit(result: dict) -> None:
@@ -147,32 +148,58 @@ def main():
 
         for _ in range(WARMUP):
             out = run_once()
+        iter_fps = []
         t0 = time.perf_counter()
         for _ in range(ITERS):
+            it0 = time.perf_counter()
             out = run_once()
+            iter_fps.append(n / (time.perf_counter() - it0))
         elapsed = time.perf_counter() - t0
-        return n * ITERS / elapsed, elapsed / ITERS * 1e3, out
+        return n * ITERS / elapsed, elapsed / ITERS * 1e3, out, iter_fps
 
-    fps_b64, _, _ = measure(CONFIG3_BATCH)
-    fps, ms_per_batch, out = measure(BATCH)
+    fps_b64, _, _, _ = measure(CONFIG3_BATCH)
+    fps, ms_per_batch, out, iter_fps = measure(BATCH)
 
-    # Accuracy: sequential session over the 10 frames.
+    # Accuracy + streaming latency: sequential session over the 10
+    # frames, per-frame wall time measured HOST-to-HOST (rgb/depth numpy
+    # upload + preprocess + track + pose matrix readback) — the B=1
+    # serving latency.  Median over the steady-state frames (the first
+    # two carry first-frame/compile work).
     session = OdometrySession(seq.camera, cfg)
-    poses = np.stack(
-        [np.asarray(session.step(rgb, depth).matrix, dtype=np.float64) for rgb, depth in seq]
-    )
+    frame_ms = []
+    poses_list = []
+    for rgb, depth in seq:
+        f0 = time.perf_counter()
+        poses_list.append(
+            np.asarray(session.step(rgb, depth).matrix, dtype=np.float64)
+        )
+        frame_ms.append((time.perf_counter() - f0) * 1e3)
+    poses = np.stack(poses_list)
+    latency_ms_b1 = float(np.median(frame_ms[2:]))
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(seq.gt_poses[0]), seq.gt_poses)
     ate, _ = metrics.ate_rmse(poses, gt_rel)
 
-    baseline_fps = _baseline_fps()
+    baseline_fps, ceiling_fps = _baseline()
     result = {
         "metric": "tracked_fps_640x480",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        # Honest fairness band (BASELINE.md): multiplier against the
+        # least favorable defensible baseline (op-count ceiling of the
+        # reference on a 32-core server) up to the measured 2.6 fps
+        # JAX-CPU stand-in.
+        "vs_baseline_band": (
+            [round(fps / ceiling_fps, 1), round(fps / baseline_fps, 1)]
+            if baseline_fps and ceiling_fps
+            else None
+        ),
         "batch": BATCH,
         "ms_per_batch": round(ms_per_batch, 1),
         "fps_b64": round(fps_b64, 2),
+        # Intra-session spread: per-iteration fps at the headline batch.
+        "fps_iters": [round(f, 1) for f in iter_fps],
+        "latency_ms_b1": round(latency_ms_b1, 1),
         "ate_rmse_m": round(ate, 5),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),

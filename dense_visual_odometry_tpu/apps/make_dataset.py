@@ -73,12 +73,28 @@ def write_tum_dataset(
     source_frame: int = 0,
     fps: float = 30.0,
     seed_t0: float = 1000.0,
+    seed: int = 0,
 ) -> Path:
-    """Render and write the dataset; returns the output directory."""
+    """Render and write the dataset; returns the output directory.
+
+    ``motion="handheld-fr1"`` renders the fr1-difficulty stand-in: a
+    hand-held 6-DoF random-walk trajectory with fr1/desk per-frame motion
+    statistics (incl. a rotation-dominant span and a fast span,
+    ``io/synthetic.handheld_trajectory``) plus a Kinect sensor model —
+    disparity-quantized depth with edge/speckle dropout and
+    auto-exposure gain/bias wander with sensor noise on intensity
+    (``degrade_depth``/``degrade_gray``).  Ingestion realism on top:
+    +-2 ms timestamp jitter and ~1% dropped depth frames, so the TUM
+    nearest-timestamp association (reference test_dvo.py:153-163) does
+    real work.
+    """
     import cv2
 
     from dense_visual_odometry_tpu.io.datasets import load_bundled_sequence
     from dense_visual_odometry_tpu.io.synthetic import (
+        degrade_depth,
+        degrade_gray,
+        handheld_trajectory,
         orbit_trajectory,
         render_sequence,
     )
@@ -93,26 +109,46 @@ def write_tum_dataset(
     depth_m = depth_dn.astype(np.float32) * seq.camera.depth_scale
     k = np.asarray(seq.camera.intrinsics)[:3, :3]
 
-    radius, angle, advance = _MOTIONS[motion]
-    poses = orbit_trajectory(n_frames, radius=radius, angle=angle, advance=advance)
+    handheld = motion == "handheld-fr1"
+    if handheld:
+        poses = handheld_trajectory(n_frames, seed=seed)
+    else:
+        radius, angle, advance = _MOTIONS[motion]
+        poses = orbit_trajectory(
+            n_frames, radius=radius, angle=angle, advance=advance
+        )
     grays, depths = render_sequence(gray, depth_m, k, poses)
+
+    rng = np.random.default_rng(seed + 1)
+    exposure_state: dict = {}
 
     rgb_lines = ["# color images", "# timestamp filename"]
     depth_lines = ["# depth maps", "# timestamp filename"]
     gt_lines = ["# ground truth trajectory", "# ts tx ty tz qx qy qz qw"]
     for i, (g, d, pose) in enumerate(zip(grays, depths, poses)):
+        if handheld:
+            g = degrade_gray(g, i, rng, exposure_state)
+            d = degrade_depth(d, rng)
         ts_rgb = seed_t0 + i / fps
         # Depth timestamps deliberately offset so nearest-neighbour
-        # association does real work (TUM sensors are unsynchronized).
+        # association does real work (TUM sensors are unsynchronized);
+        # the handheld set adds per-frame jitter on top.
         ts_depth = ts_rgb + 0.005
+        if handheld:
+            ts_rgb += float(rng.uniform(-0.002, 0.002))
+            ts_depth += float(rng.uniform(-0.002, 0.002))
         rgb_name = f"rgb/{ts_rgb:.6f}.png"
         depth_name = f"depth/{ts_depth:.6f}.png"
         g8 = np.clip(np.round(g), 0, 255).astype(np.uint8)
         cv2.imwrite(str(out / rgb_name), np.stack([g8] * 3, axis=-1))
-        d16 = np.clip(np.round(d * TUM_DN_PER_M), 0, 65535).astype(np.uint16)
-        cv2.imwrite(str(out / depth_name), d16)
         rgb_lines.append(f"{ts_rgb:.6f} {rgb_name}")
-        depth_lines.append(f"{ts_depth:.6f} {depth_name}")
+        # ~1% of depth frames never arrive (Kinect frame drops); the
+        # association then pairs the rgb frame with a neighbouring depth
+        # frame like the reference's loader does on real fr1.
+        if not (handheld and i > 0 and rng.random() < 0.01):
+            d16 = np.clip(np.round(d * TUM_DN_PER_M), 0, 65535).astype(np.uint16)
+            cv2.imwrite(str(out / depth_name), d16)
+            depth_lines.append(f"{ts_depth:.6f} {depth_name}")
         q = _quat_wxyz(pose[:3, :3])
         t = pose[:3, 3]
         gt_lines.append(
@@ -130,14 +166,17 @@ def main(argv=None):
     ap.add_argument("-o", "--out", required=True, help="output directory")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument(
-        "--motion", choices=sorted(_MOTIONS), default="medium",
-        help="per-frame motion magnitude",
+        "--motion", choices=sorted(_MOTIONS) + ["handheld-fr1"],
+        default="medium",
+        help="per-frame motion magnitude (handheld-fr1 = fr1-difficulty "
+        "trajectory + Kinect sensor model)",
     )
     ap.add_argument("--source-frame", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
     out = write_tum_dataset(
         args.out, n_frames=args.frames, motion=args.motion,
-        source_frame=args.source_frame,
+        source_frame=args.source_frame, seed=args.seed,
     )
     print(f"wrote {args.frames} frames to {out}")
 

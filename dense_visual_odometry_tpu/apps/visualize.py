@@ -42,6 +42,17 @@ def parse_args(argv=None):
                    help="dataset type for PLY depth lookup (test / tum dir)")
     p.add_argument("--stride", type=int, default=3, help="keyframe stride for PLY")
     p.add_argument("--max-points", type=int, default=200_000)
+    p.add_argument(
+        "--animate", type=str, default=None,
+        help="write an animated replay (GIF) here: per-frame point cloud "
+        "+ camera frustum walk, the reference viewer's content headless "
+        "(ref visualize.py:110-188)",
+    )
+    p.add_argument(
+        "--animate-stride", type=int, default=1,
+        help="use every Nth frame in the animation",
+    )
+    p.add_argument("--animate-fps", type=float, default=5.0)
     return p.parse_args(argv)
 
 
@@ -143,6 +154,93 @@ def build_cloud(est, seq, stride: int, max_points: int):
     return pts, cols.astype(np.uint8)
 
 
+def _frustum_segments(pose: np.ndarray, scale: float = 0.08) -> np.ndarray:
+    """Camera frustum wireframe at ``pose`` -> (n_seg, 2, 3) segments."""
+    c = np.zeros(3)
+    corners = np.array(
+        [[-1, -0.75, 1.5], [1, -0.75, 1.5], [1, 0.75, 1.5], [-1, 0.75, 1.5]]
+    ) * scale
+    pts = np.concatenate([[c], corners]) @ pose[:3, :3].T + pose[:3, 3]
+    segs = []
+    for i in range(1, 5):
+        segs.append([pts[0], pts[i]])  # apex -> corner
+        segs.append([pts[i], pts[1 + (i % 4)]])  # image-plane rectangle
+    return np.asarray(segs)
+
+
+def animate_replay(
+    est: np.ndarray,
+    seq,
+    out_path: Path,
+    stride: int = 1,
+    fps: float = 5.0,
+    max_points: int = 12_000,
+) -> Path:
+    """Animated replay GIF: each frame's decimated point cloud placed in
+    the world by its estimated pose, with the camera frustum and trail
+    walking along — the reference Open3D viewer's animated content
+    (``/root/reference/src/visualize.py:110-188``) rendered headless."""
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.animation as manim
+    import matplotlib.pyplot as plt
+
+    idxs = list(range(0, min(len(est), len(seq)), max(1, stride)))
+    clouds = []
+    for idx in idxs:
+        rgb, depth = seq.frame(idx)
+        pts, valid = seq.camera.deproject(jnp.asarray(depth))
+        pts = np.asarray(pts).reshape(-1, 3)
+        valid = np.asarray(valid).reshape(-1)
+        cols = rgb.reshape(-1, 3).astype(np.float32) / 255.0
+        pts, cols = pts[valid], cols[valid]
+        if len(pts) > max_points:
+            sel = np.random.default_rng(idx).choice(
+                len(pts), max_points, replace=False
+            )
+            pts, cols = pts[sel], cols[sel]
+        world = pts @ est[idx][:3, :3].T + est[idx][:3, 3]
+        clouds.append((world, cols))
+
+    allpts = np.concatenate([c[0] for c in clouds])
+    # Robust bounds: stray far-range returns would otherwise dwarf the
+    # scene and shrink the frustum to invisibility.  The camera path must
+    # be inside the box too (the cloud sits meters in FRONT of it).
+    lo = np.percentile(allpts, 2, axis=0)
+    hi = np.percentile(allpts, 98, axis=0)
+    cams = est[: (idxs[-1] + 1), :3, 3]
+    lo = np.minimum(lo, cams.min(axis=0))
+    hi = np.maximum(hi, cams.max(axis=0))
+    mid, span = (lo + hi) / 2, float((hi - lo).max()) / 2
+    frustum_scale = max(0.12 * span, 0.05)
+
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+
+    def draw(i):
+        ax.clear()
+        world, cols = clouds[i]
+        ax.scatter(world[:, 0], world[:, 1], world[:, 2], c=cols, s=0.6, alpha=0.7)
+        trail = est[: idxs[i] + 1, :3, 3]
+        # zorder beats mplot3d's depth sort: the camera wireframe must
+        # stay visible in front of the (denser) cloud collection.
+        ax.plot(trail[:, 0], trail[:, 1], trail[:, 2], "r-", lw=1.5, zorder=10)
+        for seg in _frustum_segments(est[idxs[i]], scale=frustum_scale):
+            ax.plot(seg[:, 0], seg[:, 1], seg[:, 2], "r-", lw=1.5, zorder=10)
+        ax.set_xlim(mid[0] - span, mid[0] + span)
+        ax.set_ylim(mid[1] - span, mid[1] + span)
+        ax.set_zlim(mid[2] - span, mid[2] + span)
+        ax.set_title(f"frame {idxs[i]}")
+        ax.view_init(elev=-60, azim=-90)  # camera-ish: x right, y down
+
+    anim = manim.FuncAnimation(fig, draw, frames=len(clouds))
+    anim.save(str(out_path), writer=manim.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path
+
+
 def main(argv=None):
     args = parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout)
@@ -161,7 +259,7 @@ def main(argv=None):
     plot_trajectories(est, gt, out)
     logger.info("trajectory figure -> %s", out)
 
-    if args.ply:
+    if args.ply or args.animate:
         from dense_visual_odometry_tpu.io import load_bundled_sequence, load_tum_sequence
 
         bench = args.benchmark or info.get("type", "test")
@@ -174,9 +272,16 @@ def main(argv=None):
             seq = load_bundled_sequence()
         else:
             seq = load_tum_sequence(bench)
-        pts, cols = build_cloud(est, seq, args.stride, args.max_points)
-        write_ply(Path(args.ply), pts, cols)
-        logger.info("point cloud (%d pts) -> %s", len(pts), args.ply)
+        if args.ply:
+            pts, cols = build_cloud(est, seq, args.stride, args.max_points)
+            write_ply(Path(args.ply), pts, cols)
+            logger.info("point cloud (%d pts) -> %s", len(pts), args.ply)
+        if args.animate:
+            animate_replay(
+                est, seq, Path(args.animate),
+                stride=args.animate_stride, fps=args.animate_fps,
+            )
+            logger.info("animated replay -> %s", args.animate)
     return out
 
 

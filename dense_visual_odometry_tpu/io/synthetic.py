@@ -161,6 +161,142 @@ def orbit_trajectory(
     return np.stack(poses)
 
 
+def handheld_trajectory(
+    n: int,
+    seed: int = 0,
+    t_step: float = 0.014,
+    r_step: float = 0.008,
+    excursion_t: float = 0.20,
+    excursion_r: float = 0.22,
+) -> np.ndarray:
+    """(N, 4, 4) camera-to-world poses with TUM-fr1-difficulty motion.
+
+    Hand-held 6-DoF jitter as a smoothed (OU-filtered) random-walk
+    velocity with a soft spring toward the origin, so per-frame motion
+    matches fr1 statistics (fr1/desk averages ~0.413 m/s translational
+    and ~23 deg/s rotational at 30 Hz => ~13.8 mm and ~0.77 deg per
+    frame) while the total excursion stays inside the single-source-frame
+    renderer's coverage envelope.  Three difficulty spans are embedded:
+
+    - frames [0.40N, 0.55N): ROTATION-DOMINANT (rotation x2.5,
+      translation x0.3 — the fr1/rpy regime, the classic dense-VO
+      failure mode);
+    - frames [0.70N, 0.78N): fast span (both x1.8 — approach/peak
+      fr1 speeds);
+    - elsewhere: nominal hand-held jitter.
+
+    Defaults: mean per-frame translation ~ ``t_step`` (12 mm ~ fr1/desk),
+    mean per-frame rotation ~ ``r_step`` rad (0.8 deg).
+    """
+    rng = np.random.default_rng(seed)
+    # OU velocity: v <- a*v + noise; a sets smoothness (hand-held sweeps
+    # persist over ~10 frames).
+    a = 0.9
+    noise_t = t_step * np.sqrt(1 - a * a)
+    noise_r = r_step * np.sqrt(1 - a * a)
+    v_t = np.zeros(3)
+    v_r = np.zeros(3)
+    pos = np.zeros(3)
+    rvec = np.zeros(3)  # so3 log of camera-to-world rotation
+    poses = []
+    for t in range(n):
+        lo_rot, hi_rot = int(0.40 * n), int(0.55 * n)
+        lo_fast, hi_fast = int(0.70 * n), int(0.78 * n)
+        if lo_rot <= t < hi_rot:
+            gain_t, gain_r = 0.3, 2.5
+        elif lo_fast <= t < hi_fast:
+            gain_t, gain_r = 1.8, 1.8
+        else:
+            gain_t, gain_r = 1.0, 1.0
+        v_t = a * v_t + noise_t * rng.standard_normal(3)
+        v_r = a * v_r + noise_r * rng.standard_normal(3)
+        # Quadratic spring keeps the walk inside the renderable envelope
+        # (the single-source-frame renderer loses coverage beyond
+        # ~25 cm / ~17 deg): negligible near the origin, dominant at the
+        # bound.
+        pos = (pos + gain_t * v_t) * (
+            1.0 - 0.2 * min((np.linalg.norm(pos) / excursion_t) ** 2, 1.5)
+        )
+        rvec = (rvec + gain_r * v_r) * (
+            1.0 - 0.2 * min((np.linalg.norm(rvec) / excursion_r) ** 2, 1.5)
+        )
+        # Depth axis moves less (hand-held scanning keeps the subject
+        # framed); fr1 z-motion is ~half the lateral motion.
+        p = np.eye(4)
+        p[:3, 3] = pos * np.array([1.0, 1.0, 0.5])
+        theta = np.linalg.norm(rvec)
+        if theta > 1e-12:
+            k = rvec / theta
+            kx = np.array(
+                [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]]
+            )
+            p[:3, :3] = (
+                np.eye(3)
+                + np.sin(theta) * kx
+                + (1 - np.cos(theta)) * (kx @ kx)
+            )
+        poses.append(p)
+    return np.stack(poses)
+
+
+def degrade_gray(
+    gray: np.ndarray, frame_idx: int, rng: np.random.Generator,
+    exposure_state: dict,
+) -> np.ndarray:
+    """Kinect-RGB-style photometric degradation: slowly-wandering
+    auto-exposure (gain +-5%, bias +-4 DN — violating the solver's
+    brightness-constancy assumption like TUM's auto-exposure does) plus
+    per-pixel Gaussian sensor noise (sigma 2 DN)."""
+    g = exposure_state.setdefault("gain", 1.0)
+    b = exposure_state.setdefault("bias", 0.0)
+    # AR(1) wander, clamped.
+    g = float(np.clip(0.98 * g + 0.02 + 0.004 * rng.standard_normal(), 0.95, 1.05))
+    b = float(np.clip(0.95 * b + 0.5 * rng.standard_normal(), -4.0, 4.0))
+    exposure_state["gain"], exposure_state["bias"] = g, b
+    noisy = g * gray + b + 2.0 * rng.standard_normal(gray.shape)
+    return np.clip(noisy, 0.0, 255.0).astype(np.float32)
+
+
+def degrade_depth(
+    depth_m: np.ndarray, rng: np.random.Generator,
+    fb: float = 43.5, disp_step: float = 0.125,
+) -> np.ndarray:
+    """Kinect-style depth degradation.
+
+    1. Disparity quantization: the sensor measures disparity d = fb/z in
+       1/8-px steps (f~580 px, baseline 7.5 cm => fb ~ 43.5 m*px), so
+       depth resolution degrades quadratically: ~2.9 mm at 1 m, ~11.5 mm
+       at 2 m — the dominant error on TUM depth.
+    2. Edge dropout: pixels whose 3x3 depth neighbourhood spans a large
+       relative jump lose their return with high probability (structured
+       light fails on oblique/discontinuous surfaces).
+    3. Random speckle dropout (~0.3%).
+    """
+    z = depth_m.copy()
+    valid = z > 0
+    disp = np.zeros_like(z)
+    disp[valid] = fb / z[valid]
+    disp_q = np.round(disp / disp_step) * disp_step
+    z_q = np.zeros_like(z)
+    ok = disp_q > 0
+    z_q[valid & ok] = fb / disp_q[valid & ok]
+
+    # Edge dropout: relative depth range over a 3x3 window.
+    import cv2
+
+    zmax = cv2.dilate(z, np.ones((3, 3)))
+    zmin_raw = z.copy()
+    zmin_raw[~valid] = np.inf
+    zmin = cv2.erode(zmin_raw, np.ones((3, 3)))
+    rel_jump = np.zeros_like(z)
+    edge = valid & np.isfinite(zmin) & (zmin > 0)
+    rel_jump[edge] = (zmax[edge] - zmin[edge]) / zmin[edge]
+    drop_edge = edge & (rel_jump > 0.05) & (rng.random(z.shape) < 0.5)
+    speckle = valid & (rng.random(z.shape) < 0.003)
+    z_q[drop_edge | speckle] = 0.0
+    return z_q
+
+
 def render_sequence(
     gray: np.ndarray,
     depth_m: np.ndarray,

@@ -52,6 +52,34 @@ def test_depth_decode(dataset):
     assert 2000 < np.median(valid) < 30000
 
 
+def test_handheld_fr1_dataset(tmp_path):
+    """fr1-difficulty mode: handheld trajectory + Kinect sensor model +
+    ingestion irregularities (timestamp jitter, dropped depth frames)."""
+    out = write_tum_dataset(
+        tmp_path / "hh", n_frames=12, motion="handheld-fr1", seed=3
+    )
+    # ~1% depth frame drops: table may be shorter than rgb's.
+    depth_rows = [
+        line for line in (out / "depth.txt").read_text().splitlines()
+        if line and not line.startswith("#")
+    ]
+    assert len(depth_rows) <= 12
+    seq = load_tum_sequence(out)
+    assert len(seq) == 12  # association pairs every rgb with some depth
+    rgb, depth = seq.frame(5)
+    valid = depth[depth > 0]
+    assert valid.size > 0.3 * depth.size
+    # Kinect disparity quantization: depths snap to fb/(k*step) levels,
+    # so the number of distinct values collapses vs the continuous render.
+    assert np.unique(valid).size < 2000
+    # Ground truth still round-trips.
+    from dense_visual_odometry_tpu.io.synthetic import handheld_trajectory
+
+    np.testing.assert_allclose(
+        seq.gt_poses, handheld_trajectory(12, seed=3), atol=1e-5
+    )
+
+
 def test_tracks_with_low_drift(dataset):
     """The real tum-fr1 ingestion feeds the tracker end-to-end."""
     from dense_visual_odometry_tpu.config import RobustDVOConfig

@@ -56,6 +56,19 @@ class TestVisualize:
         assert text.startswith("ply")
         assert "element vertex 5000" in text
 
+    def test_animated_replay(self, report, tmp_path):
+        from dense_visual_odometry_tpu.apps import visualize
+
+        gif = tmp_path / "replay.gif"
+        visualize.main(
+            ["report", str(report), "-o", str(tmp_path / "t.png"),
+             "--animate", str(gif), "--animate-stride", "3",
+             "--max-points", "2000"]
+        )
+        data = gif.read_bytes()
+        assert data[:6] in (b"GIF87a", b"GIF89a")
+        assert len(data) > 5000
+
     def test_missing_file(self):
         from dense_visual_odometry_tpu.apps import visualize
 
