@@ -94,9 +94,11 @@ def _make_stepper(
             extra = {"keyframes": slam.num_keyframes}
             if dense_refine:
                 # Pose graph first (loop-closure consistency), then the
-                # dense photometric pass over retained keyframes.
+                # dense photometric pass over retained keyframes, with
+                # the refined inverse depths fed back into the live
+                # keyframe pyramids (models/slam.py refine_dense).
                 slam.optimize_full()
-                result = slam.refine_dense()
+                result = slam.refine_dense(update_depths=True)
                 extra["dense_refined"] = result is not None
             extra["optimized_poses"] = slam.optimized_trajectory()
             return extra

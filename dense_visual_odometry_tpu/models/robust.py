@@ -648,7 +648,6 @@ def _solve_level(
         and cfg.freeze_shift_window
         and cfg.use_level_kernel
         and cfg.lm_lambda0 is not None
-        and not use_prior
         and not use_esm
     )
     if use_blocks:
@@ -816,7 +815,6 @@ def _solve_level(
         and use_fused
         and (frozen_win is not None or frozen_win_blocks is not None)
         and cfg.lm_lambda0 is not None
-        and not use_prior
     )
     if cfg.lm_lambda0 is not None and use_level_kernel:
         from dense_visual_odometry_tpu.ops.pallas.level_solver import (
@@ -854,6 +852,8 @@ def _solve_level(
                 lm_lambda_max=cfg.lm_lambda_max,
                 max_iterations=cfg.max_iterations,
                 n_blocks=cfg.recenter_blocks if use_blocks else 1,
+                sigma=cfg.sigma,
+                reference_prior_energy=cfg.reference_prior_energy,
                 radius_y=(
                     cfg.shift_stack_radius_y
                     if use_blocks and cfg.shift_stack_radius_y is not None

@@ -37,6 +37,7 @@ from dense_visual_odometry_tpu.models.robust import (
     make_tracker,
     preprocess_frame,
 )
+from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.utils.lie import Pose, se3
 
 
@@ -479,6 +480,8 @@ class SlamSession:
         grid_stride: int = 8,
         window: int = 2,
         config=None,
+        update_depths: bool = False,
+        max_depth_ratio: float = 1.5,
     ):
         """Dense refinement pass: joint pose + inverse-depth BA over all
         RETAINED keyframes (models/dense_ba.py — photometric residuals on
@@ -490,6 +493,16 @@ class SlamSession:
         updated in place (re-anchored to the pre-refinement first pose so
         the world frame is untouched); returns the
         :class:`~dense_visual_odometry_tpu.models.dense_ba.DenseBAResult`.
+
+        ``update_depths=True`` feeds the refined inverse depths BACK into
+        the live keyframe ``FrameData``: the BA sees only the stride-N
+        grid, so the correction is applied as a smooth MULTIPLICATIVE
+        field — per-grid-point ratio z_refined/z_measured, bilinearly
+        upsampled to full resolution, clamped to
+        [1/max_depth_ratio, max_depth_ratio], multiplied into the
+        measured full-res depth (detail and holes preserved), and the
+        depth pyramid rebuilt.  Subsequent tracking, loop verification
+        and relocalization then run against the refined geometry.
         """
         from dense_visual_odometry_tpu.models.dense_ba import (
             DenseBAConfig,
@@ -537,7 +550,47 @@ class SlamSession:
         refined = np.einsum("ij,njk->nik", align, refined)
         for i, k in enumerate(ks):
             self.keyframe_poses[k] = refined[i]
+        if update_depths:
+            self._apply_depth_feedback(
+                ks, data, np.asarray(result.inv_depth), grid_stride,
+                max_depth_ratio,
+            )
         return result
+
+    def _apply_depth_feedback(
+        self, ks, data, inv_depth, grid_stride: int, max_depth_ratio: float
+    ) -> None:
+        """Write BA-refined inverse depths back into the keyframes'
+        ``FrameData`` (see :meth:`refine_dense`)."""
+        import cv2
+
+        h, w = np.asarray(self._kf_frames[ks[0]].depth_m[0]).shape
+        gh = len(range(0, h, grid_stride))
+        gw = len(range(0, w, grid_stride))
+        inv0 = np.asarray(data.inv_depth0)
+        valid = np.asarray(data.valid) > 0.5
+        for i, k in enumerate(ks):
+            # Ratio in depth space: z_ref / z_meas = inv0 / inv_refined.
+            ratio = np.ones(inv0.shape[1], np.float32)
+            ok = valid[i] & (inv_depth[i] > 1e-6)
+            ratio[ok] = np.clip(
+                inv0[i, ok] / inv_depth[i, ok],
+                1.0 / max_depth_ratio,
+                max_depth_ratio,
+            )
+            ratio_up = cv2.resize(
+                ratio.reshape(gh, gw), (w, h), interpolation=cv2.INTER_LINEAR
+            )
+            fd = self._kf_frames[k]
+            depth0 = np.asarray(fd.depth_m[0])
+            new_depth = jnp.asarray(depth0 * ratio_up)
+            levels = len(fd.depth_m)
+            new_fd = FrameData(
+                gray=fd.gray, depth_m=pyr_ops.build_pyramid(new_depth, levels)
+            )
+            self._kf_frames[k] = new_fd
+            if k == self._active_kf:
+                self._keyframe = new_fd
 
     def optimized_trajectory(self) -> np.ndarray:
         """(N, 4, 4) world poses for every frame, re-anchored to the

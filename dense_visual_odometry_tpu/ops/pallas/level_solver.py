@@ -18,9 +18,11 @@ This also removes the per-iteration HBM re-streaming (~139 MB x
 iterations -> x1) on non-tunneled hardware.
 
 Semantics: bit-compatible restatement of ``models/robust._lm_loop``
-with the ``fused`` evaluate mode (frozen window), NO motion prior
-(``cfg.sigma is None`` — the caller falls back to the XLA loop
-otherwise) and no depth residuals.  The damped solve uses an unrolled
+with the ``fused`` evaluate mode (frozen window), INCLUDING the motion
+prior when ``sigma`` is set (H += (1/sigma) I, b += (1/sigma) log(old),
+per-iteration anchor re-anchoring — the in-kernel se3.log uses a Newton
+arcsin since ``atan2``/``acos`` do not lower, ``_se3_log_scalars``);
+depth-residual configs still fall back to the XLA loop.  The damped solve uses an unrolled
 Cholesky instead of ``jnp.linalg.solve`` (measured equivalent to 2e-5
 relative).  Per-element loop exit replaces the batch-wide
 ``any(~done)`` condition — element results are identical because done
@@ -29,7 +31,8 @@ which equals ``_lm_loop``'s trip count.
 
 Mosaic constraints discovered for this kernel (benchmarks/
 exp_megafeas.py): ``acos``/``atan2`` do not lower (scalar sin/cos/sqrt
-do — enough for se3.exp; se3.log would need a Newton inversion);
+do — enough for se3.exp; se3.log uses exactly such a Newton inversion,
+``_se3_log_scalars``);
 ``tpu.iota`` only produces integers; while_loop with a ~90-scalar carry
 lowers fine and an on-chip iteration costs ~microseconds.
 
@@ -145,6 +148,69 @@ def _inverse(m):
     )
 
 
+def _se3_log_scalars(m):
+    """se3.log on a 12-scalar affine row -> 6 scalars (upsilon, phi).
+
+    Mirrors utils/lie/{so3,se3}.log (quaternion-route theta, V^-1 with
+    the same series thresholds) with one Mosaic workaround: ``atan2``
+    does not lower, so theta/2 = arcsin(|v|) is recovered by a Newton
+    inversion of sin (series initial guess + 2 steps, f32-exact for
+    theta <= ~2.4 rad).  Valid for theta < ~2.5 rad — the motion-prior
+    anchors this kernel consumes are frame-to-frame transforms, orders
+    of magnitude inside that; the trace-pivot quaternion (w > 0.3 there)
+    is exact in this domain.
+    """
+    r00, r01, r02, tx, r10, r11, r12, ty, r20, r21, r22, tz = m
+    tr = r00 + r11 + r22
+    w = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12))
+    inv4w = 1.0 / (4.0 * w)
+    vx = (r21 - r12) * inv4w
+    vy = (r02 - r20) * inv4w
+    vz = (r10 - r01) * inv4w
+    vn_sq = vx * vx + vy * vy + vz * vz
+    vn = jnp.sqrt(vn_sq)
+    vn_c = jnp.minimum(vn, 0.999)  # guard the Newton cos denominator
+    # arcsin via series init + Newton on f(x) = sin x - vn.
+    x = vn_c * (1.0 + vn_sq * (1.0 / 6.0 + vn_sq * (3.0 / 40.0)))
+    for _ in range(2):
+        x = x - (jnp.sin(x) - vn_c) / jnp.maximum(jnp.cos(x), 1e-3)
+    theta = 2.0 * x
+    small = vn < 1e-7
+    scale = jnp.where(
+        small,
+        2.0 / jnp.maximum(w, 0.5),
+        theta / jnp.where(small, 1.0, vn),
+    )
+    px = vx * scale
+    py = vy * scale
+    pz = vz * scale
+    # V^-1 = I - hat(phi)/2 + D hat(phi)^2 (se3.left_jacobian_inverse,
+    # same series threshold _SMALL_ANGLE_D = 1e-1).
+    t_sq = px * px + py * py + pz * pz
+    small_d = t_sq < 1e-2
+    t_safe = jnp.sqrt(jnp.where(small_d, 1.0, t_sq))
+    t_sq_safe = jnp.where(small_d, 1.0, t_sq)
+    a = jnp.sin(t_safe) / t_safe
+    b2 = (1.0 - jnp.cos(t_safe)) / t_sq_safe
+    d = jnp.where(
+        small_d,
+        1.0 / 12.0 + t_sq / 720.0 + t_sq * t_sq * (31.0 / 60480.0),
+        (1.0 - a / (2.0 * b2)) / t_sq_safe,
+    )
+    # K = hat(phi); Vinv = I - K/2 + d K^2, applied to t.
+    # K @ t and K @ (K @ t):
+    k1x = py * tz - pz * ty
+    k1y = pz * tx - px * tz
+    k1z = px * ty - py * tx
+    k2x = py * k1z - pz * k1y
+    k2y = pz * k1x - px * k1z
+    k2z = px * k1y - py * k1x
+    ux = tx - 0.5 * k1x + d * k2x
+    uy = ty - 0.5 * k1y + d * k2y
+    uz = tz - 0.5 * k1z + d * k2z
+    return ux, uy, uz, px, py, pz
+
+
 def _chol_solve6(h21, rhs):
     """Damped-system solve via unrolled 6x6 Cholesky on scalars.
 
@@ -212,8 +278,12 @@ def _level_kernel(
     block_rows: int = 0,
     halo: int = 0,
     grid_hp: int = 0,
+    sigma: float | None = None,
+    reference_prior_energy: bool = False,
 ):
     fmax = float(jnp.finfo(jnp.float32).max)
+    use_prior = sigma is not None
+    inv_cov = 0.0 if sigma is None else 1.0 / sigma
 
     def kernel(planes_ref, pts_ref, gray_ref, jac_ref, scal_ref,
                out_ref, acc_ref):
@@ -280,7 +350,7 @@ def _level_kernel(
         est0 = affine(0)
         anchor0 = affine(16)
 
-        def evaluate(est, wlam):
+        def evaluate(est, anchor, wlam):
             (r00, r01, r02, tx, r10, r11, r12, ty,
              r20, r21, r22, tz) = est
             xp = r00 * px + r01 * py + r02 * pz + tx
@@ -354,6 +424,23 @@ def _level_kernel(
             )
             rhs = tuple(-jnp.sum(jw[i] * res) for i in range(6))
             err = jnp.sum(weights * rsq) / count_safe
+            if use_prior:
+                # Motion prior (eval_mode in models/robust.py:
+                # H += (1/sigma) I, b += (1/sigma) log(anchor), plus the
+                # energy term used by the stopping decisions).
+                lg = _se3_log_scalars(anchor)
+                icov = jnp.float32(inv_cov)
+                diag_idx = (0, 6, 11, 15, 18, 20)
+                h21 = tuple(
+                    h + icov if k in diag_idx else h
+                    for k, h in enumerate(h21)
+                )
+                rhs = tuple(r + icov * lg[i] for i, r in enumerate(rhs))
+                sq = sum(c * c for c in lg)
+                if reference_prior_energy:
+                    err = err + 0.5 * jnp.float32(sigma) * jnp.sqrt(sq)
+                else:
+                    err = err + 0.5 * icov * sq
             return h21, rhs, err, count, lam
 
         zero = jnp.float32(0.0)
@@ -377,7 +464,7 @@ def _level_kernel(
             (it, done, lm_lam, wlam, err_acc, count_acc,
              est_acc, anchor_acc, est_try, anchor_try,
              hess_acc, rhs_acc) = c
-            h21, rhs, err, count, wlam2 = evaluate(est_try, wlam)
+            h21, rhs, err, count, wlam2 = evaluate(est_try, anchor_try, wlam)
             ok_eval = jax.lax.is_finite(err) & (count >= 6.0)
             take = (err < err_acc) & ok_eval
 
@@ -476,7 +563,7 @@ def _level_kernel(
         "unroll", "use_tweights", "normalize_scale", "tolerance",
         "lm_lambda0", "lm_up", "lm_down", "lm_lambda_max",
         "max_iterations", "interpret", "n_blocks", "block_rows", "halo",
-        "grid_hp",
+        "grid_hp", "sigma", "reference_prior_energy",
     ),
 )
 def lm_level_pallas(
@@ -505,6 +592,8 @@ def lm_level_pallas(
     halo: int = 0,
     grid_hp: int = 0,
     radius_y: int | None = None,
+    sigma: float | None = None,
+    reference_prior_energy: bool = False,
 ) -> jnp.ndarray:
     """Run the level-fused LM solver over a (B,)-grid.
 
@@ -525,7 +614,8 @@ def lm_level_pallas(
         unroll, use_tweights, normalize_scale, tolerance, lm_up, lm_down,
         lm_lambda_max, max_iterations, lm_lambda0,
         n_blocks=n_blocks, block_rows=block_rows, halo=halo,
-        grid_hp=grid_hp,
+        grid_hp=grid_hp, sigma=sigma,
+        reference_prior_energy=reference_prior_energy,
     )
     in_cols = scal.shape[-1]
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
@@ -603,6 +693,8 @@ def solve_level_fused(
     interpret: bool = False,
     n_blocks: int = 1,
     radius_y: int | None = None,
+    sigma: float | None = None,
+    reference_prior_energy: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Batch-shaped wrapper: one level solved end-to-end on-chip.
@@ -738,6 +830,7 @@ def solve_level_fused(
         lm_down=lm_down, lm_lambda_max=lm_lambda_max,
         max_iterations=max_iterations, interpret=interpret,
         n_blocks=nblk, block_rows=t_rows, halo=halo, grid_hp=grid_hp,
+        sigma=sigma, reference_prior_energy=reference_prior_energy,
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)

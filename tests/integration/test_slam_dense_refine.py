@@ -98,6 +98,70 @@ def test_refine_dense_pulls_corrupted_poses_back(tracked):
     assert traj.shape == (6, 4, 4)
 
 
+def test_depth_feedback_cuts_subsequent_tracking_error(test_data_dir):
+    """``refine_dense(update_depths=True)`` feeds BA-refined inverse
+    depths back into the live keyframe pyramids; tracking AFTER the
+    refinement then runs against better geometry.
+
+    Scenario: keyframe depths corrupted by a smooth multiplicative
+    miscalibration field (+-8%); dense BA with a weak depth anchor
+    recovers the true structure from multi-view photometric consistency.
+    Measured at authoring time: relative-pose error of the two
+    post-refinement frames drops 1.07 -> 0.42 mm and 1.49 -> 0.80 mm
+    with feedback vs without (same BA, same poses — only the fed-back
+    depth differs)."""
+    import cv2
+
+    seq = load_bundled_sequence(test_data_dir)
+    rgb, depth_raw = seq.frame(0)
+    gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    depth = depth_raw.astype(np.float32) * seq.camera.depth_scale
+    gray_h = np.asarray(pyr_ops.build_pyramid(jnp.asarray(gray), 2)[1])
+    depth_h = np.asarray(pyr_ops.build_pyramid(jnp.asarray(depth), 2)[1])
+    k_half = np.asarray(seq.camera.at(1), np.float32)
+
+    n = 8
+    gt = synthetic.orbit_trajectory(n, radius=0.03, angle=0.02, advance=0.012)
+    grays, depths = synthetic.render_sequence(gray_h, depth_h, k_half, gt)
+    h, w = depth_h.shape
+    vv, uu = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    field = 1.0 + 0.08 * np.sin(2 * np.pi * uu / w) * np.cos(2 * np.pi * vv / h)
+    corrupted = [d * field for d in depths]
+
+    camera = CameraModel.create(k_half, 1.0)
+    cfg = RobustDVOConfig(levels=3, use_weighter=True, max_iterations=30)
+
+    def run(update_depths):
+        policy = KeyframePolicy(
+            max_translation=1e-9, max_rotation=1e-9, window=4,
+            loop_closure=False,
+        )
+        slam = SlamSession(camera, cfg, policy)
+        for i in range(6):
+            slam.step(grays[i], corrupted[i])
+        slam.refine_dense(
+            grid_stride=4, window=3,
+            config=DenseBAConfig(max_iterations=25, depth_anchor_weight=1e1),
+            update_depths=update_depths,
+        )
+        # Stop promotions; the remaining frames track against keyframe 5.
+        slam.policy = KeyframePolicy(
+            max_translation=1e9, max_rotation=1e9, window=4,
+            loop_closure=False,
+        )
+        errs = []
+        for i in range(6, n):
+            pose = np.asarray(slam.step(grays[i], corrupted[i]).matrix)
+            rel_est = np.linalg.inv(slam.keyframe_poses[5]) @ pose
+            rel_gt = np.linalg.inv(gt[5]) @ gt[i]
+            errs.append(np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3]))
+        return np.asarray(errs)
+
+    e_nofb = run(False)
+    e_fb = run(True)
+    assert np.all(e_fb < 0.75 * e_nofb), (e_fb, e_nofb)
+
+
 def test_refine_dense_requires_two_keyframes(tracked):
     slam, _ = tracked
     lone = SlamSession(slam.camera, slam.config, slam.policy)

@@ -413,6 +413,77 @@ class TestSyntheticConvergence:
         np.testing.assert_allclose(results[True], results[False], atol=1e-5)
         assert results[True][5] == pytest.approx(angle, abs=2e-3)
 
+    def test_level_kernel_matches_lm_loop_with_motion_prior(self):
+        """Motion-prior configs now ride the level kernel too: the
+        in-kernel prior terms (H += (1/sigma) I, b += (1/sigma)
+        log(anchor) via the Newton-arcsin se3.log) must reproduce the
+        XLA loop, with the anchor re-anchored per accepted step."""
+        tx = 0.01
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        prev = _frame_data(gray1, depth, 3)
+        curr = _frame_data(gray2, depth, 3)
+        # Non-trivial anchor: a constant-velocity prior near (but not at)
+        # the true motion, so log(anchor) != 0 drives b.
+        anchor = np.eye(4, dtype=np.float32)
+        anchor[0, 3] = 0.8 * tx
+        anchor[1, 3] = 0.002
+        for sigma, ref_energy in ((2e-7, False), (1e-4, True)):
+            results = {}
+            for lk in (False, True):
+                cfg = self._fused_lm_cfg(
+                    use_level_kernel=lk, sigma=sigma,
+                    reference_prior_energy=ref_energy,
+                )
+                r = track_pair(
+                    prev, curr, camera, cfg,
+                    last_transform=jnp.asarray(anchor),
+                )
+                assert bool(r.success)
+                results[lk] = np.asarray(r.transform)
+            np.testing.assert_allclose(
+                results[True], results[False], atol=1e-5
+            )
+        # Liveness: a strongly binding prior must move the kernel's
+        # answer materially vs no prior.  (Note the magnitude is NOT
+        # anchor-distance: the reference re-anchors ``old`` at every
+        # LEVEL, so a binding prior pushes each level's increment toward
+        # the full anchor — the effects compound across levels.  The
+        # oracle tests pin that semantic against the actual reference.)
+        cfg_tight = self._fused_lm_cfg(use_level_kernel=True, sigma=1e-9)
+        cfg_off = self._fused_lm_cfg(use_level_kernel=True)
+        r_tight = track_pair(
+            prev, curr, camera, cfg_tight, last_transform=jnp.asarray(anchor)
+        )
+        r_off = track_pair(prev, curr, camera, cfg_off)
+        assert (
+            abs(float(r_tight.transform[0, 3]) - float(r_off.transform[0, 3]))
+            > 1e-3
+        )
+
+    def test_se3_log_scalars_matches_library(self):
+        """The kernel's Newton-arcsin se3.log is f32-exact against
+        utils.lie.se3.log across the documented domain."""
+        from dense_visual_odometry_tpu.ops.pallas.level_solver import (
+            _se3_log_scalars,
+        )
+
+        rng = np.random.default_rng(0)
+        for mag in (1e-8, 1e-5, 1e-3, 0.05, 0.3, 1.0, 2.0):
+            for _ in range(5):
+                xi = rng.standard_normal(6)
+                xi[3:] *= mag / max(np.linalg.norm(xi[3:]), 1e-12)
+                xi[:3] *= 0.3
+                t_mat = np.asarray(se3.exp(jnp.asarray(xi, jnp.float32)))
+                m = tuple(
+                    jnp.float32(t_mat[r, c])
+                    for r in range(3)
+                    for c in range(4)
+                )
+                got = np.array([float(v) for v in _se3_log_scalars(m)])
+                want = np.asarray(se3.log(jnp.asarray(t_mat)))
+                np.testing.assert_allclose(got, want, atol=1e-6)
+
     def test_level_kernel_with_fallback_and_zero_depth(self):
         """The fallback lax.cond dispatch still works around the level
         kernel, and an all-invalid-depth pair stays finite (the kernel
