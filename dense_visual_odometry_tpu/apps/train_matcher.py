@@ -44,6 +44,10 @@ def parse_args(argv=None):
     ap.add_argument("--max-trans", type=float, default=0.08, help="m/axis")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument(
+        "--no-augment", action="store_true",
+        help="disable photometric + multi-scale-crop augmentation",
+    )
     return ap.parse_args(argv)
 
 
@@ -85,28 +89,116 @@ def build_dataset(args):
     seq = load_bundled_sequence(args.data_dir)
     rng = np.random.default_rng(args.seed)
     n_total = args.pairs + args.holdout
+    augment = not getattr(args, "no_augment", False)
     g1s, g2s, gts = [], [], []
     k = np.asarray(seq.camera.intrinsics, np.float64).copy()
     for p in range(n_total):
         rgb, depth = seq.frame(p % len(seq))
         gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32)
         depth_m = depth.astype(np.float32) * seq.camera.depth_scale
+        ks = k.copy()
+        if augment and rng.random() < 0.6:
+            # Multi-scale crop (zoom augmentation): a random sub-window
+            # resized back to full frame, intrinsics adjusted, so the
+            # matcher sees the scene's textures across feature scales
+            # instead of one fixed cell size.
+            c = float(rng.uniform(0.6, 0.9))
+            ch = int(gray.shape[0] * c)
+            cw = int(gray.shape[1] * c)
+            oy = int(rng.integers(0, gray.shape[0] - ch + 1))
+            ox = int(rng.integers(0, gray.shape[1] - cw + 1))
+            gray = gray[oy : oy + ch, ox : ox + cw]
+            depth_m = depth_m[oy : oy + ch, ox : ox + cw]
+            ks[0, 2] -= ox
+            ks[1, 2] -= oy
+            zx = rgb.shape[1] / cw
+            zy = rgb.shape[0] / ch
+            gray = cv2.resize(
+                gray, (rgb.shape[1], rgb.shape[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            depth_m = cv2.resize(
+                depth_m, (rgb.shape[1], rgb.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            ks[0] *= zx
+            ks[1] *= zy
         if args.scale != 1.0:
             h = int(gray.shape[0] * args.scale) // STRIDE * STRIDE
             w = int(gray.shape[1] * args.scale) // STRIDE * STRIDE
+            sh, sw = gray.shape
             gray = cv2.resize(gray, (w, h), interpolation=cv2.INTER_AREA)
             depth_m = cv2.resize(depth_m, (w, h), interpolation=cv2.INTER_NEAREST)
-            ks = k.copy()
-            ks[0] *= w / rgb.shape[1]
-            ks[1] *= h / rgb.shape[0]
-        else:
-            ks = k
+            ks[0] *= w / sw
+            ks[1] *= h / sh
         t = _random_se3(rng, args.max_rot, args.max_trans)
         g2, d2 = render_view(gray, depth_m, ks, t)
         gt = coarse_gt_assignment(depth_m, d2, ks, t)
+        if augment:
+            # Photometric augmentation (never seen by the clean render
+            # path): independent exposure gain/bias per image plus
+            # Gaussian sensor noise — real cameras violate brightness
+            # constancy across views; the dual-softmax must not rely on
+            # absolute intensity.
+            for g in (gray, g2):
+                gain = float(rng.uniform(0.9, 1.1))
+                bias = float(rng.uniform(-8.0, 8.0))
+                noise = rng.standard_normal(g.shape) * 2.0
+                np.copyto(g, np.clip(g * gain + bias + noise, 0.0, 255.0))
         g1s.append(gray)
         g2s.append(g2)
         gts.append(gt)
+    return {
+        "gray1": np.stack(g1s), "gray2": np.stack(g2s), "gt": np.stack(gts),
+    }
+
+
+def real_pair_dataset(pairs, data_dir=None, scale=0.5):
+    """REAL-frame evaluation pairs: both images are actual bundled
+    sensor frames (no rendering anywhere), labels from measured depth +
+    ground-truth relative pose — an out-of-training-distribution check
+    (the training distribution is (real frame, rendered view); real
+    pairs add true sensor noise, exposure differences and depth-map
+    disagreement between the views).
+
+    pairs : iterable of (i, j) frame indices; (0, 9) is the widest real
+        baseline the bundled set offers (~0.1 m + rotation).
+    -> dict like :func:`build_dataset`.
+    """
+    import cv2
+    import numpy as np
+
+    from dense_visual_odometry_tpu.io import load_bundled_sequence
+    from dense_visual_odometry_tpu.models.matcher import (
+        STRIDE,
+        coarse_gt_assignment,
+    )
+
+    seq = load_bundled_sequence(data_dir)
+    k0 = np.asarray(seq.camera.intrinsics, np.float64)
+
+    def load(i):
+        rgb, depth = seq.frame(i)
+        gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY).astype(np.float32)
+        depth_m = depth.astype(np.float32) * seq.camera.depth_scale
+        h = int(gray.shape[0] * scale) // STRIDE * STRIDE
+        w = int(gray.shape[1] * scale) // STRIDE * STRIDE
+        ks = k0.copy()
+        ks[0] *= w / gray.shape[1]
+        ks[1] *= h / gray.shape[0]
+        gray = cv2.resize(gray, (w, h), interpolation=cv2.INTER_AREA)
+        depth_m = cv2.resize(depth_m, (w, h), interpolation=cv2.INTER_NEAREST)
+        return gray, depth_m, ks
+
+    g1s, g2s, gts = [], [], []
+    for i, j in pairs:
+        g1, d1, ks = load(i)
+        g2, d2, _ = load(j)
+        # transform_1_to_2: camera_i points into camera_j.
+        t = np.linalg.inv(seq.gt_poses[j]) @ seq.gt_poses[i]
+        gts.append(coarse_gt_assignment(d1, d2, ks, t))
+        g1s.append(g1)
+        g2s.append(g2)
     return {
         "gray1": np.stack(g1s), "gray2": np.stack(g2s), "gt": np.stack(gts),
     }
