@@ -190,6 +190,31 @@ class TestCommittedWeights:
         assert trans_err(learned) < 0.03
         assert (not bool(classical.success)) or trans_err(classical) > 0.1
 
+    def test_shipped_weights_generalize_to_real_pairs(self, test_data_dir):
+        """The committed weights hold up OUT of the training
+        distribution: both images are real bundled sensor frames (true
+        noise/exposure/depth disagreement; training pairs are (real,
+        rendered)).  Labels from measured depth + GT relative pose.
+        Measured at commit time (augmented weights): easy pairs 1.00 /
+        0.97+, widest real baseline (0,9) 0.861 precision."""
+        from dense_visual_odometry_tpu.apps.train_matcher import (
+            evaluate,
+            real_pair_dataset,
+        )
+        from dense_visual_odometry_tpu.models import matcher
+
+        params = matcher.load_params()
+        pairs = [(0, 1), (4, 6), (3, 8), (0, 9)]
+        data = real_pair_dataset(pairs, data_dir=test_data_dir)
+        precisions = {}
+        for idx, pair in enumerate(pairs):
+            p, r = evaluate(params, data, [idx])
+            precisions[pair] = (p, r)
+        for pair in [(0, 1), (4, 6), (3, 8)]:
+            assert precisions[pair][0] > 0.95, precisions
+        assert precisions[(0, 9)][0] > 0.80, precisions
+        assert precisions[(0, 9)][1] > 0.40, precisions
+
     def test_sparse_vo_learned_matcher(self, scene):
         from dense_visual_odometry_tpu.camera import CameraModel
         from dense_visual_odometry_tpu.io.synthetic import (
