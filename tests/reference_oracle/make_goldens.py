@@ -89,6 +89,21 @@ CASES = [
             approximate_image2_gradient=False,
         ),
     ),
+    # max_increased_steps_allowed=2 + a looser tolerance exercises the
+    # divergence-counter branch (error-increase steps tolerated, counter
+    # reset on decrease) at iteration counts distinct from the other
+    # cases — the counts below differ from approx_tweight's, proving the
+    # branch decides, and they match the reference exactly.
+    (
+        "approx_divergence_allowed",
+        3,
+        4,
+        dict(
+            levels=3, use_weighter=True, max_increased_steps_allowed=2,
+            sigma=None, tolerance=1e-4, max_iterations=15,
+            approximate_image2_gradient=True,
+        ),
+    ),
     # sigma=1e-9 puts the prior in the strongly-binding regime (it moves
     # the reference's transforms by MILLIMETERS vs sigma=None — measured
     # 1.7-4.2 mm on these pairs), so this case exercises the full prior

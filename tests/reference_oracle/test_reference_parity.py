@@ -44,6 +44,7 @@ BOUNDS = {
     "approx_noweight": (3e-5, 1.5e-5, True),
     "approx_tweight": (3e-5, 1.5e-5, True),
     "approx_prior": (3e-5, 1.5e-5, True),
+    "approx_divergence_allowed": (3e-5, 1.5e-5, True),
     # Documented quirk gap (J_w evaluation point); see module docstring.
     "exact_noweight": (1e-3, 5e-4, True),
 }
