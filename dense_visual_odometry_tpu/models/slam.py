@@ -14,9 +14,14 @@ here:
   pose-graph GN backend (:mod:`dense_visual_odometry_tpu.models.posegraph`)
   every time a keyframe is added.
 
-Keyframe decisions read three scalars back to the host per frame (the
-transform norm + valid-pixel counts) — diagnostics the CLI reads anyway;
-all pixel work stays on device.
+The per-frame front end is ONE jitted program (``_fused_step``):
+preprocessing, the frame-to-keyframe solve, and every scalar the host
+policy logic needs (transform, twist, success, error, valid count,
+Hessian, place descriptor) come back in a single packed f32 vector — one
+dispatch+readback round trip per frame, the same transport cost as plain
+odometry (the unfused path paid ~7 round trips: measured 258 -> ~65 ms
+median per frame through the relay tunnel).  All pixel work stays on
+device.
 """
 
 from __future__ import annotations
@@ -34,8 +39,8 @@ from dense_visual_odometry_tpu.config import RobustDVOConfig
 from dense_visual_odometry_tpu.models import posegraph
 from dense_visual_odometry_tpu.models.robust import (
     FrameData,
-    make_tracker,
     preprocess_frame,
+    track_pair,
 )
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.utils.lie import Pose, se3
@@ -111,7 +116,6 @@ class SlamSession:
         self.camera = camera
         self.config = config or RobustDVOConfig(levels=4, use_weighter=True)
         self.policy = policy or KeyframePolicy()
-        self._tracker = make_tracker(self.config)
         self._intrinsics = jnp.asarray(camera.intrinsics, jnp.float32)
 
         self._keyframe: Optional[FrameData] = None
@@ -145,8 +149,20 @@ class SlamSession:
     def _valid_count(self, fd: FrameData) -> float:
         return float(jnp.sum(fd.depth_m[0] > 0.0))
 
-    def _promote(self, fd: FrameData, world_pose: np.ndarray, measured_from_prev_kf):
-        """Make ``fd`` the keyframe with pose ``world_pose``."""
+    def _promote(
+        self,
+        fd: FrameData,
+        world_pose: np.ndarray,
+        measured_from_prev_kf,
+        desc: Optional[np.ndarray] = None,
+        valid_count: Optional[float] = None,
+    ):
+        """Make ``fd`` the keyframe with pose ``world_pose``.
+
+        ``desc`` / ``valid_count`` are passed in when the caller already
+        has them (the fused step computes both on device); computing them
+        here costs two extra device round trips.
+        """
         kf_id = len(self.keyframe_poses)
         if measured_from_prev_kf is not None:
             # The odometry edge connects the keyframe the measurement was
@@ -161,11 +177,15 @@ class SlamSession:
         self.keyframe_indices.append(self._frame_idx)
         self._keyframe = fd
         self._kf_frames.append(fd)
-        self._kf_desc.append(np.asarray(_frame_descriptor(fd.gray[-1])))
+        self._kf_desc.append(
+            np.asarray(_frame_descriptor(fd.gray[-1])) if desc is None else desc
+        )
         if len(self._kf_frames) > self.policy.max_stored_keyframes:
             # Drop the oldest retained FrameData (poses/edges are kept).
             self._kf_frames[len(self._kf_frames) - self.policy.max_stored_keyframes - 1] = None
-        self._kf_valid_count = self._valid_count(fd)
+        self._kf_valid_count = (
+            self._valid_count(fd) if valid_count is None else valid_count
+        )
         self._rel_to_kf = np.eye(4)
         self._active_kf = kf_id
         if measured_from_prev_kf is not None:
@@ -376,11 +396,11 @@ class SlamSession:
     # -- public API --------------------------------------------------------
     def step(self, image, depth) -> Pose:
         """Process one frame; returns its (front-end) world pose."""
-        fd = _preprocess(
-            jnp.asarray(image), jnp.asarray(depth), self._intrinsics,
-            jnp.float32(self.camera.depth_scale), self.config,
-        )
         if self._keyframe is None:
+            fd = _preprocess(
+                jnp.asarray(image), jnp.asarray(depth), self._intrinsics,
+                jnp.float32(self.camera.depth_scale), self.config,
+            )
             pose = np.eye(4)
             self._promote(fd, pose, None)
             self.frame_poses.append(pose)
@@ -395,18 +415,19 @@ class SlamSession:
         init = jnp.asarray(
             (self._last_inc @ np.linalg.inv(self._rel_to_kf)).astype(np.float32)
         )
-        result = self._tracker(
-            self._keyframe, fd, self._intrinsics, init_guess=init,
-            last_transform=init,
+        fd, result, pack_d = _fused_step(
+            self._keyframe, jnp.asarray(image), jnp.asarray(depth),
+            self._intrinsics, jnp.float32(self.camera.depth_scale),
+            init, self.config,
         )
         self.last_result = result
-        success = bool(result.success)
-        transform = np.asarray(result.transform, dtype=np.float64)
+        pack = np.asarray(pack_d, np.float64)  # the ONE host sync per frame
+        success = pack[_PK_SUCCESS] > 0.5
+        transform = pack[_PK_TRANSFORM].reshape(4, 4)
         if success and self.policy.track_max_error is not None:
-            final_err = float(np.asarray(result.diagnostics.error[-1]))
             # A finite estimate over enough pixels can still be a wrong
             # alignment; the residual level says so.
-            success = final_err <= self.policy.track_max_error
+            success = pack[_PK_ERROR] <= self.policy.track_max_error
 
         if success:
             self._lost_count = 0
@@ -428,23 +449,27 @@ class SlamSession:
         self._frame_kf.append(self._active_kf)
         self._frame_rel.append(self._rel_to_kf.copy())
 
-        if success and self._needs_keyframe(fd, transform):
-            info = np.asarray(result.hessian, dtype=np.float64)
+        if success and self._needs_keyframe(pack):
+            info = pack[_PK_HESSIAN].reshape(6, 6)
             # Guard: information must be finite/PSD-ish; else identity.
             if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
                 info = np.eye(6)
             meas = self._rel_to_kf  # X_prev_kf^-1 @ X_new_kf
-            self._promote(fd, world, (meas.copy(), info))
+            self._promote(
+                fd, world, (meas.copy(), info),
+                desc=pack[_PK_DESC].astype(np.float32),
+                valid_count=float(pack[_PK_VALID]),
+            )
 
         self._frame_idx += 1
         return Pose.from_matrix(world)
 
-    def _needs_keyframe(self, fd: FrameData, transform: np.ndarray) -> bool:
-        xi = np.asarray(se3.log(jnp.asarray(transform, jnp.float32)))
+    def _needs_keyframe(self, pack: np.ndarray) -> bool:
+        xi = pack[_PK_XI]
         trans = float(np.linalg.norm(xi[:3]))
         rot = float(np.linalg.norm(xi[3:]))
         ratio = (
-            self._valid_count(fd) / self._kf_valid_count
+            float(pack[_PK_VALID]) / self._kf_valid_count
             if self._kf_valid_count > 0
             else 0.0
         )
@@ -626,3 +651,60 @@ def _preprocess(image, depth, intrinsics, depth_scale, cfg: RobustDVOConfig):
         levels=cfg.levels, max_distance=cfg.max_distance,
         quantize=cfg.quantize_intensity,
     )
+
+
+# Layout of the scalar pack returned by ``_fused_step``: every host-side
+# decision input for one frame in ONE f32 vector, so the per-frame cost on
+# a high-latency transport is a single dispatch+readback round trip (the
+# unfused path paid ~7: preprocess, track, three separate scalar reads,
+# and two more device calls inside the keyframe decision — measured 258 ms
+# vs ~65 ms median through the relay tunnel).
+_PK_TRANSFORM = slice(0, 16)  # (4,4) frame-to-frame estimate, row-major
+_PK_SUCCESS = 16  # 1.0 / 0.0
+_PK_ERROR = 17  # finest-level final mean weighted squared residual
+_PK_XI = slice(18, 24)  # se3.log(transform): [:3] trans, [3:] rot
+_PK_VALID = 24  # valid-depth pixel count at the finest level
+_PK_HESSIAN = slice(25, 61)  # (6,6) finest-level J^T W J, row-major
+_PK_DESC = slice(61, 157)  # 96-float place-recognition descriptor
+_PK_SIZE = 157
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fused_step(
+    keyframe: FrameData,
+    image: jnp.ndarray,
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    cfg: RobustDVOConfig,
+):
+    """Whole SLAM front-end step as one device program.
+
+    Preprocess the incoming frame, track it against the keyframe, and
+    derive every scalar the host-side policy logic consumes (transform,
+    success, final error, twist, valid count, Hessian, descriptor) into
+    one packed vector — see ``_PK_*``.  Returns ``(fd, result, pack)``;
+    ``fd`` and ``result`` stay on device (promotion retains ``fd``
+    without further transfers; reading ``pack`` is the only sync).
+    """
+    camera = CameraModel(intrinsics=intrinsics, depth_scale=depth_scale)
+    fd = preprocess_frame(
+        image, depth, camera,
+        levels=cfg.levels, max_distance=cfg.max_distance,
+        quantize=cfg.quantize_intensity,
+    )
+    result = track_pair(
+        keyframe, fd, camera, cfg,
+        init_guess=init_guess, last_transform=init_guess,
+    )
+    pack = jnp.concatenate([
+        result.transform.reshape(-1),
+        result.success.astype(jnp.float32).reshape(1),
+        result.diagnostics.error[-1].reshape(1),
+        se3.log(result.transform).reshape(-1),
+        jnp.sum(fd.depth_m[0] > 0.0, dtype=jnp.float32).reshape(1),
+        result.hessian.reshape(-1),
+        _frame_descriptor(fd.gray[-1]),
+    ])
+    return fd, result, pack
