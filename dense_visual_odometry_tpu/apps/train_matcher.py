@@ -48,6 +48,10 @@ def parse_args(argv=None):
         "--no-augment", action="store_true",
         help="disable photometric + multi-scale-crop augmentation",
     )
+    ap.add_argument(
+        "--fine-weight", type=float, default=0.25,
+        help="fine-stage loss weight (0 disables fine-head training)",
+    )
     return ap.parse_args(argv)
 
 
@@ -84,13 +88,16 @@ def build_dataset(args):
 
     from dense_visual_odometry_tpu.io import load_bundled_sequence
     from dense_visual_odometry_tpu.io.synthetic import render_view
-    from dense_visual_odometry_tpu.models.matcher import STRIDE, coarse_gt_assignment
+    from dense_visual_odometry_tpu.models.matcher import (
+        STRIDE,
+        coarse_gt_with_targets,
+    )
 
     seq = load_bundled_sequence(args.data_dir)
     rng = np.random.default_rng(args.seed)
     n_total = args.pairs + args.holdout
     augment = not getattr(args, "no_augment", False)
-    g1s, g2s, gts = [], [], []
+    g1s, g2s, gts, uvts = [], [], [], []
     k = np.asarray(seq.camera.intrinsics, np.float64).copy()
     for p in range(n_total):
         rgb, depth = seq.frame(p % len(seq))
@@ -133,7 +140,7 @@ def build_dataset(args):
             ks[1] *= h / sh
         t = _random_se3(rng, args.max_rot, args.max_trans)
         g2, d2 = render_view(gray, depth_m, ks, t)
-        gt = coarse_gt_assignment(depth_m, d2, ks, t)
+        gt, uvt = coarse_gt_with_targets(depth_m, d2, ks, t)
         if augment:
             # Photometric augmentation (never seen by the clean render
             # path): independent exposure gain/bias per image plus
@@ -148,8 +155,10 @@ def build_dataset(args):
         g1s.append(gray)
         g2s.append(g2)
         gts.append(gt)
+        uvts.append(uvt)
     return {
         "gray1": np.stack(g1s), "gray2": np.stack(g2s), "gt": np.stack(gts),
+        "uv_target": np.stack(uvts),
     }
 
 
@@ -171,7 +180,7 @@ def real_pair_dataset(pairs, data_dir=None, scale=0.5):
     from dense_visual_odometry_tpu.io import load_bundled_sequence
     from dense_visual_odometry_tpu.models.matcher import (
         STRIDE,
-        coarse_gt_assignment,
+        coarse_gt_with_targets,
     )
 
     seq = load_bundled_sequence(data_dir)
@@ -190,17 +199,20 @@ def real_pair_dataset(pairs, data_dir=None, scale=0.5):
         depth_m = cv2.resize(depth_m, (w, h), interpolation=cv2.INTER_NEAREST)
         return gray, depth_m, ks
 
-    g1s, g2s, gts = [], [], []
+    g1s, g2s, gts, uvts = [], [], [], []
     for i, j in pairs:
         g1, d1, ks = load(i)
         g2, d2, _ = load(j)
         # transform_1_to_2: camera_i points into camera_j.
         t = np.linalg.inv(seq.gt_poses[j]) @ seq.gt_poses[i]
-        gts.append(coarse_gt_assignment(d1, d2, ks, t))
+        gt, uvt = coarse_gt_with_targets(d1, d2, ks, t)
+        gts.append(gt)
+        uvts.append(uvt)
         g1s.append(g1)
         g2s.append(g2)
     return {
         "gray1": np.stack(g1s), "gray2": np.stack(g2s), "gt": np.stack(gts),
+        "uv_target": np.stack(uvts),
     }
 
 
@@ -238,6 +250,42 @@ def evaluate(params, data, idx):
     return float(np.mean(precisions)), float(np.mean(recalls))
 
 
+def evaluate_fine(params, data, idx):
+    """Teacher-forced fine-stage subpixel error (px) on the given pairs,
+    against the coarse-cell-center quantization baseline."""
+    import numpy as np
+
+    from dense_visual_odometry_tpu.models import matcher
+
+    fine_errs, base_errs = [], []
+    for i in idx:
+        g1 = data["gray1"][i]
+        gt = np.asarray(data["gt"][i])
+        uvt = np.asarray(data["uv_target"][i])
+        hc = g1.shape[0] // matcher.STRIDE
+        wc = g1.shape[1] // matcher.STRIDE
+        import jax.numpy as jnp
+
+        f1 = matcher._fine_features(params, jnp.asarray(g1))
+        f2 = matcher._fine_features(params, jnp.asarray(data["gray2"][i]))
+        centers = np.asarray(matcher._cell_centers(hc, wc))
+        valid = gt >= 0
+        gtc = np.clip(gt, 0, hc * wc - 1)
+        uv_pred, _, ok = matcher._fine_correlate(
+            params, f1, f2, jnp.asarray(centers), jnp.asarray(centers[gtc])
+        )
+        keep = valid & np.asarray(ok)
+        if keep.sum() == 0:
+            continue
+        fine_errs.append(
+            float(np.mean(np.linalg.norm(np.asarray(uv_pred)[keep] - uvt[keep], axis=-1)))
+        )
+        base_errs.append(
+            float(np.mean(np.linalg.norm(centers[gtc][keep] - uvt[keep], axis=-1)))
+        )
+    return float(np.mean(fine_errs)), float(np.mean(base_errs))
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.platform is not None:
@@ -270,12 +318,20 @@ def main(argv=None):
 
     dev = {k: jnp.asarray(v) for k, v in data.items()}
 
+    fine_w = args.fine_weight
+
+    def joint_loss(params, g1, g2, gt, uvt):
+        coarse = matcher.matching_loss(params, g1, g2, gt)
+        fine = matcher.fine_loss(params, g1, g2, gt, uvt)
+        return coarse + fine_w * fine
+
     @jax.jit
     def train_step(params, opt_state, i):
         g1 = dev["gray1"][i]
         g2 = dev["gray2"][i]
         gt = dev["gt"][i]
-        loss, grads = jax.value_and_grad(matcher.matching_loss)(params, g1, g2, gt)
+        uvt = dev["uv_target"][i]
+        loss, grads = jax.value_and_grad(joint_loss)(params, g1, g2, gt, uvt)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -293,13 +349,17 @@ def main(argv=None):
 
     hold = np.arange(args.pairs, args.pairs + args.holdout)
     prec, rec = evaluate(params, data, hold)
+    fine_px, coarse_px = evaluate_fine(params, data, hold)
     print(f"holdout: precision@1cell {prec:.3f} recall {rec:.3f}", flush=True)
+    print(f"holdout fine: {fine_px:.2f} px (coarse-center baseline "
+          f"{coarse_px:.2f} px)", flush=True)
 
     matcher.save_params(args.output, params)
     print(f"weights -> {args.output}")
     print(json.dumps({
         "final_loss": float(np.mean(losses[-50:])),
         "holdout_precision": prec, "holdout_recall": rec,
+        "holdout_fine_px": fine_px, "holdout_coarse_px": coarse_px,
         "steps": args.steps, "pairs": args.pairs, "scale": args.scale,
     }))
 

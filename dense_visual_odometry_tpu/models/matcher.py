@@ -21,11 +21,21 @@ Architecture (LoFTR's coarse stage, sized for this problem):
   with a learned temperature, mutual-argmax selection, fixed top-K
   output with a validity mask (static shapes end to end).
 
-Matches come out at coarse-cell centers (8-px quantization); the sparse
-pipeline refines them to subpixel with the existing ZNCC parabola fit
-(``sparse.match_patches`` around the predicted location) before the
-RANSAC rigid tail — LoFTR's own coarse-to-fine split, with a classical
-fine stage.
+Matches come out at coarse-cell centers (8-px quantization) and are
+refined to subpixel by a FINE stage before the RANSAC rigid tail —
+LoFTR's own coarse-to-fine split.  Two fine stages exist:
+
+- **learned** (LoFTR's second stage, ``refine_matches_fine``): stride-2
+  feature windows (shared conv stem + a dedicated fine conv) around each
+  coarse match, correlation of the source center vector against the
+  target window, softmax heatmap, soft-argmax expectation -> continuous
+  subpixel target.  Trained jointly with the coarse loss on the same
+  rendered ground-truth correspondences (teacher-forced at the true
+  coarse cell).  Used automatically when the checkpoint contains the
+  fine-head parameters.
+- **classical** (ZNCC parabola fit, ``sparse.match_patches`` around the
+  predicted location): the fallback for checkpoints without a fine head,
+  and an ablation baseline.
 """
 
 from __future__ import annotations
@@ -42,6 +52,8 @@ from dense_visual_odometry_tpu.models.sparse import Matches
 
 STRIDE = 8
 HEADS = 4  # static under jit; must divide the feature dim
+FINE_STRIDE = 2  # fine feature-map stride (the shared conv stem's first level)
+FINE_WIN = 7  # fine correlation window, in stride-2 cells (+-6 px coverage)
 DEFAULT_WEIGHTS = Path(__file__).resolve().parents[1] / "weights" / "loftr_lite.npz"
 
 
@@ -82,6 +94,12 @@ def init_params(
             params[f"{p}_mlp2"] = dense((2 * dim, dim))
             params[f"{p}_mlp2b"] = jnp.zeros((dim,), jnp.float32)
     params["temperature"] = jnp.asarray(0.1, jnp.float32)
+    # Fine head: a 3x3 conv specializing the shared stride-2 stem output
+    # for subpixel correlation, plus its softmax temperature.
+    c0 = channels[0]
+    params["fine_w"] = dense((3, 3, c0, c0), scale=np.sqrt(2.0 / (9 * c0)))
+    params["fine_b"] = jnp.zeros((c0,), jnp.float32)
+    params["fine_temperature"] = jnp.asarray(0.1, jnp.float32)
     assert heads == HEADS, "head count is a module constant (static under jit)"
     return params
 
@@ -163,6 +181,98 @@ def _backbone(params, gray: jnp.ndarray, n_convs: int) -> jnp.ndarray:
     return tokens + _sine_pe(hc, wc, d)
 
 
+def _fine_features(params, gray: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) gray -> (H/2, W/2, C) fine feature map.
+
+    Shares the coarse backbone's first stride-2 conv (joint training, as
+    LoFTR shares its FPN stem), then one dedicated 3x3 conv (linear head).
+    """
+    x = (gray / 255.0)[None, :, :, None]
+    x = jax.nn.relu(
+        jax.lax.conv_general_dilated(
+            x, params["conv0_w"], window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params["conv0_b"]
+    )
+    x = jax.lax.conv_general_dilated(
+        x, params["fine_w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["fine_b"]
+    return x[0]
+
+
+def has_fine_head(params: dict) -> bool:
+    """True when the checkpoint carries the learned fine-refinement head."""
+    return "fine_w" in params
+
+
+def _fine_correlate(params, f1, f2, uv1, uv2):
+    """Correlate source center vectors against target windows.
+
+    f1/f2 : (H2, W2, C) fine maps; uv1/uv2 : (K, 2) full-res pixel coords
+    (source position / coarse target prediction).  -> ``(uv_pred (K, 2),
+    peak (K,), ok (K,))``: the soft-argmax subpixel target position, the
+    heatmap peak probability (confidence), and whether the window center
+    was in bounds.
+    """
+    h2, w2, c = f2.shape
+    off = (FINE_STRIDE - 1) / 2.0  # cell-center offset in full-res px
+    i1 = jnp.clip(jnp.round((uv1[:, 1] - off) / FINE_STRIDE).astype(jnp.int32), 0, h2 - 1)
+    j1 = jnp.clip(jnp.round((uv1[:, 0] - off) / FINE_STRIDE).astype(jnp.int32), 0, w2 - 1)
+    cvec = f1[i1, j1]  # (K, C)
+
+    r = FINE_WIN // 2
+    i2 = jnp.round((uv2[:, 1] - off) / FINE_STRIDE).astype(jnp.int32)
+    j2 = jnp.round((uv2[:, 0] - off) / FINE_STRIDE).astype(jnp.int32)
+    dy, dx = jnp.meshgrid(
+        jnp.arange(-r, r + 1), jnp.arange(-r, r + 1), indexing="ij"
+    )
+    dy = dy.ravel()
+    dx = dx.ravel()  # (FINE_WIN**2,)
+    vi = i2[:, None] + dy[None, :]
+    ui = j2[:, None] + dx[None, :]
+    inb = (vi >= 0) & (vi < h2) & (ui >= 0) & (ui < w2)
+    win = f2[jnp.clip(vi, 0, h2 - 1), jnp.clip(ui, 0, w2 - 1)]  # (K, W^2, C)
+    temp = jnp.maximum(params["fine_temperature"], 1e-3)
+    logits = jnp.einsum("kc,kwc->kw", cvec, win) / (np.sqrt(c) * temp)
+    heat = jax.nn.softmax(jnp.where(inb, logits, -1e9), axis=-1)
+    exp_dy = heat @ dy.astype(jnp.float32)
+    exp_dx = heat @ dx.astype(jnp.float32)
+    uv_pred = jnp.stack(
+        [
+            (j2.astype(jnp.float32) + exp_dx) * FINE_STRIDE + off,
+            (i2.astype(jnp.float32) + exp_dy) * FINE_STRIDE + off,
+        ],
+        axis=-1,
+    )
+    peak = jnp.max(heat, axis=-1)
+    ok = (i2 >= 0) & (i2 < h2) & (j2 >= 0) & (j2 < w2)
+    return uv_pred, peak, ok
+
+
+@jax.jit
+def refine_matches_fine(
+    params: dict,
+    gray1: jnp.ndarray,
+    gray2: jnp.ndarray,
+    matches: Matches,
+) -> Matches:
+    """LoFTR fine stage: subpixel-refine coarse matches with the learned
+    correlation head (see module docstring).  Confidence becomes
+    ``coarse_conf * heat_peak``; out-of-bounds windows are invalidated."""
+    f1 = _fine_features(params, gray1)
+    f2 = _fine_features(params, gray2)
+    uv_pred, peak, ok = _fine_correlate(
+        params, f1, f2, matches.uv_prev, matches.uv_curr
+    )
+    return Matches(
+        uv_prev=matches.uv_prev,
+        uv_curr=uv_pred,
+        confidence=matches.confidence * peak,
+        valid=matches.valid & ok,
+    )
+
+
 def coarse_similarity(params: dict, gray1: jnp.ndarray, gray2: jnp.ndarray):
     """-> (N1, N2) dual-softmax correspondence probabilities."""
     layers, n_convs = _meta(params)
@@ -235,11 +345,16 @@ def track_sparse_learned(
     min_confidence: float = 0.2,
     refine_search: int = 6,
     min_zncc: float = 0.5,
+    fine: str = "auto",
     **fit_kwargs,
 ):
-    """Learned coarse matches -> ZNCC subpixel refinement -> RANSAC rigid
-    fit (jit-able end to end): the LoFTR pipeline shape of the reference
-    (``loftr.py:86-106`` matching, ``:236-268`` geometric tail)."""
+    """Learned coarse matches -> subpixel refinement -> RANSAC rigid fit
+    (jit-able end to end): the LoFTR pipeline shape of the reference
+    (``loftr.py:86-106`` matching, ``:236-268`` geometric tail).
+
+    ``fine``: ``"learned"`` (the trained fine head), ``"zncc"`` (classical
+    parabola fit), or ``"auto"`` — learned iff the checkpoint has one.
+    """
     from dense_visual_odometry_tpu.models.sparse import (
         fit_from_matches,
         match_patches,
@@ -248,14 +363,18 @@ def track_sparse_learned(
     coarse = match_coarse(
         params, gray_prev, gray_curr, top_k=top_k, min_confidence=min_confidence,
     )
-    fine = match_patches(
-        gray_prev, gray_curr, coarse.uv_prev,
-        centers_curr=coarse.uv_curr, search=refine_search, min_zncc=min_zncc,
-    )
-    matches = fine._replace(
-        valid=fine.valid & coarse.valid,
-        confidence=fine.confidence * coarse.confidence,
-    )
+    use_learned = fine == "learned" or (fine == "auto" and has_fine_head(params))
+    if use_learned:
+        matches = refine_matches_fine(params, gray_prev, gray_curr, coarse)
+    else:
+        zncc = match_patches(
+            gray_prev, gray_curr, coarse.uv_prev,
+            centers_curr=coarse.uv_curr, search=refine_search, min_zncc=min_zncc,
+        )
+        matches = zncc._replace(
+            valid=zncc.valid & coarse.valid,
+            confidence=zncc.confidence * coarse.confidence,
+        )
     return fit_from_matches(
         key, matches, depth_prev_m, depth_curr_m, intrinsics, **fit_kwargs
     )
@@ -273,9 +392,29 @@ def coarse_gt_assignment(
     """Ground-truth coarse assignment (host, once per training pair).
 
     -> (N1,) int32: target cell index per source cell, -1 where the cell
-    center has no valid visible correspondence.  Uses exact depth +
-    relative pose (rendered pairs), with an occlusion check against the
-    target depth map.
+    center has no valid visible correspondence.
+    """
+    return coarse_gt_with_targets(
+        depth1_m, depth2_m, intrinsics, transform_1_to_2, occlusion_tol
+    )[0]
+
+
+def coarse_gt_with_targets(
+    depth1_m: np.ndarray,
+    depth2_m: np.ndarray,
+    intrinsics: np.ndarray,
+    transform_1_to_2: np.ndarray,
+    occlusion_tol: float = 0.05,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Ground-truth coarse assignment + continuous targets (host, once
+    per training pair).
+
+    -> ``(gt (N1,) int32, uv_target (N1, 2) float32)``: target cell index
+    per source cell (-1 where the cell center has no valid visible
+    correspondence) and the CONTINUOUS warped pixel position (junk rows
+    where ``gt < 0``) — the fine head's regression target.  Uses exact
+    depth + relative pose (rendered pairs), with an occlusion check
+    against the target depth map.
     """
     h, w = depth1_m.shape
     hc, wc = h // STRIDE, w // STRIDE
@@ -306,7 +445,8 @@ def coarse_gt_assignment(
     z2 = depth2_m[vi, ui]
     visible = inside & (z2 > 0) & (np.abs(z2 - zt) <= occlusion_tol * np.maximum(zt, 0.5))
     gt = np.where(visible, vc * wc + uc, -1)
-    return gt.astype(np.int32)
+    uv_target = np.stack([ut, vt], axis=-1).astype(np.float32)
+    return gt.astype(np.int32), uv_target
 
 
 def matching_loss(params: dict, gray1, gray2, gt_assignment) -> jnp.ndarray:
@@ -318,3 +458,26 @@ def matching_loss(params: dict, gray1, gray2, gt_assignment) -> jnp.ndarray:
     picked = jnp.take_along_axis(p, gt[:, None], axis=1)[:, 0]
     nll = -jnp.log(jnp.clip(picked, 1e-9, 1.0))
     return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def fine_loss(params: dict, gray1, gray2, gt_assignment, uv_target) -> jnp.ndarray:
+    """Fine-stage regression loss (LoFTR's l_f), teacher-forced: correlate
+    each source cell center against the window around its GROUND-TRUTH
+    coarse cell and penalize the squared pixel error of the soft-argmax
+    prediction vs the continuous warped position ``uv_target``.
+
+    The true position lies within +-4 px of the gt cell center (8-px
+    cells) and the window covers +-6 px, so every valid row's target is
+    reachable.
+    """
+    h, w = gray1.shape
+    hc, wc = h // STRIDE, w // STRIDE
+    f1 = _fine_features(params, gray1)
+    f2 = _fine_features(params, gray2)
+    valid = gt_assignment >= 0
+    gt = jnp.clip(gt_assignment, 0, hc * wc - 1)
+    centers = _cell_centers(hc, wc)
+    uv_pred, _, ok = _fine_correlate(params, f1, f2, centers, centers[gt])
+    err = jnp.sum((uv_pred - uv_target) ** 2, axis=-1)
+    keep = valid & ok
+    return jnp.sum(jnp.where(keep, err, 0.0)) / jnp.maximum(jnp.sum(keep), 1)

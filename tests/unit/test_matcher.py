@@ -133,6 +133,110 @@ class TestTraining:
             np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(loaded[k]))
 
 
+class TestFineHead:
+    """The learned fine stage (LoFTR's second stage): subpixel
+    refinement of coarse matches by feature correlation + soft-argmax."""
+
+    def test_short_fine_training_beats_quantization(self, scene):
+        """A briefly-trained fine head localizes the true correspondence
+        better than the coarse cell-center baseline (4-px quantization)."""
+        from dense_visual_odometry_tpu.io.synthetic import render_view
+        from dense_visual_odometry_tpu.utils.lie import se3
+
+        import optax
+
+        gray, depth_m, k = scene
+        rng = np.random.default_rng(3)
+        pairs = []
+        for _ in range(3):
+            xi = np.concatenate([
+                rng.uniform(-0.02, 0.02, 3), rng.uniform(-0.02, 0.02, 3)
+            ])
+            t = np.asarray(se3.exp(jnp.asarray(xi, jnp.float32)), np.float64)
+            g2, d2 = render_view(gray, depth_m, k, t)
+            gt, uvt = matcher.coarse_gt_with_targets(depth_m, d2, k, t)
+            pairs.append(
+                (jnp.asarray(gray), jnp.asarray(g2), jnp.asarray(gt),
+                 jnp.asarray(uvt))
+            )
+
+        params = matcher.init_params(jax.random.key(2), dim=32, layers=1)
+        tx = optax.adam(2e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, g1, g2, gt, uvt):
+            loss, grads = jax.value_and_grad(matcher.fine_loss)(
+                params, g1, g2, gt, uvt
+            )
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt, loss
+
+        losses = []
+        for it in range(60):
+            g1, g2, gt, uvt = pairs[it % len(pairs)]
+            params, opt, loss = step(params, opt, g1, g2, gt, uvt)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5])
+
+        # Teacher-forced localization error vs the quantization baseline.
+        g1, g2, gt, uvt = pairs[0]
+        hc = gray.shape[0] // matcher.STRIDE
+        wc = gray.shape[1] // matcher.STRIDE
+        f1 = matcher._fine_features(params, g1)
+        f2 = matcher._fine_features(params, g2)
+        centers = matcher._cell_centers(hc, wc)
+        gt_np = np.asarray(gt)
+        valid = gt_np >= 0
+        gtc = np.clip(gt_np, 0, hc * wc - 1)
+        uv_pred, _, ok = matcher._fine_correlate(
+            params, f1, f2, centers, centers[gtc]
+        )
+        keep = valid & np.asarray(ok)
+        uvt_np = np.asarray(uvt)
+        fine_err = np.mean(
+            np.linalg.norm(np.asarray(uv_pred)[keep] - uvt_np[keep], axis=-1)
+        )
+        base_err = np.mean(
+            np.linalg.norm(np.asarray(centers[gtc])[keep] - uvt_np[keep], axis=-1)
+        )
+        assert fine_err < base_err
+
+    def test_refine_preserves_structure_and_bounds(self, scene):
+        """refine_matches_fine keeps uv_prev, produces in-image targets,
+        and only ever invalidates (never resurrects) matches."""
+        gray, _, _ = scene
+        g1 = jnp.asarray(gray)
+        g2 = jnp.roll(g1, shift=(2, 3), axis=(0, 1))
+        params = matcher.init_params(jax.random.key(4), dim=32, layers=1)
+        coarse = matcher.match_coarse(params, g1, g2, top_k=64,
+                                      min_confidence=0.0)
+        out = matcher.refine_matches_fine(params, g1, g2, coarse)
+        np.testing.assert_array_equal(
+            np.asarray(out.uv_prev), np.asarray(coarse.uv_prev)
+        )
+        valid = np.asarray(out.valid)
+        assert not np.any(valid & ~np.asarray(coarse.valid))
+        uv = np.asarray(out.uv_curr)[valid]
+        h, w = gray.shape
+        if uv.size:
+            assert uv[:, 0].min() >= -matcher.FINE_WIN * matcher.FINE_STRIDE
+            assert uv[:, 0].max() <= w + matcher.FINE_WIN * matcher.FINE_STRIDE
+        # Refinement moves targets at most a window radius away.
+        moved = np.abs(uv - np.asarray(coarse.uv_curr)[valid])
+        if uv.size:
+            r = (matcher.FINE_WIN // 2 + 1) * matcher.FINE_STRIDE
+            assert moved.max() <= r
+
+    def test_auto_fine_selection(self):
+        """track_sparse_learned picks the learned fine stage iff the
+        checkpoint has one (fine='auto')."""
+        params = matcher.init_params(jax.random.key(5), dim=32, layers=1)
+        assert matcher.has_fine_head(params)
+        legacy = {k: v for k, v in params.items() if not k.startswith("fine_")}
+        assert not matcher.has_fine_head(legacy)
+
+
 @pytest.mark.skipif(
     not matcher.DEFAULT_WEIGHTS.exists(), reason="committed weights absent"
 )
