@@ -54,6 +54,13 @@ def parse_args(argv=None):
     p.add_argument("--truncation", type=float, default=None,
                    help="TSDF truncation in meters (default 4 voxels)")
     p.add_argument("--min-weight", type=float, default=1.0)
+    p.add_argument("--adaptive-truncation", type=float, default=0.0,
+                   help="widen the band with depth: tau(z) = truncation "
+                        "+ A*z^2 (Kinect disparity-noise model)")
+    p.add_argument("--carve", type=float, default=0.0,
+                   help="space-carving weight decay in [0,1] for voxels "
+                        "where free-space views conflict with a stored "
+                        "surface (dynamic-object removal)")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"])
     p.add_argument("-v", "--verbose", action="store_true")
@@ -184,7 +191,9 @@ def main(argv=None) -> int:
     )  # (D, H, W) = (z, y, x)
     trunc = args.truncation if args.truncation is not None else 4.0 * voxel
     vcfg = tsdf.TSDFConfig(
-        dims=dims, voxel_size=voxel, origin=tuple(lo), truncation=trunc
+        dims=dims, voxel_size=voxel, origin=tuple(lo), truncation=trunc,
+        truncation_scale_sq=args.adaptive_truncation,
+        carve_decay=args.carve,
     )
     logger.info(
         "volume %s voxel %.4f m bounds %s -> %s (%.0f MVox)",

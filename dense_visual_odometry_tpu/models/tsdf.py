@@ -52,12 +52,29 @@ class TSDFConfig:
     # Observations more than this far BEHIND the surface are free space
     # carving nothing (standard TSDF: only integrate sdf > -truncation).
     min_depth: float = 0.05
+    # Adaptive truncation band: tau(z) = truncation + truncation_scale_sq
+    # * z^2 (meters).  Kinect-class sensors quantize DISPARITY, so depth
+    # noise grows ~quadratically with distance (~11 mm steps at 2 m for
+    # the fr1 sensor model, io/synthetic.py); a fixed band either blurs
+    # near geometry or starves far geometry of support.  0 = fixed band.
+    truncation_scale_sq: float = 0.0
+    # Space carving (dynamic-object removal): when an observation says a
+    # voxel is FREE space (sdf > tau) but the stored field says surface
+    # (tsdf < 0.25), the stored weight is decayed by this factor before
+    # averaging, so stale surfaces (objects that moved away) disappear in
+    # ~1/carve_decay conflicting views instead of washing out over
+    # max_weight frames.  0 = standard TSDF (no carving).
+    carve_decay: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "dims", tuple(int(d) for d in self.dims))
         object.__setattr__(self, "origin", tuple(float(o) for o in self.origin))
         if self.truncation <= 0 or self.voxel_size <= 0:
             raise ValueError("voxel_size and truncation must be positive")
+        if not 0.0 <= self.carve_decay <= 1.0:
+            raise ValueError("carve_decay must be in [0, 1]")
+        if self.truncation_scale_sq < 0:
+            raise ValueError("truncation_scale_sq must be >= 0")
 
     @classmethod
     def around(cls, center, extent: float, resolution: int = 128, **kw):
@@ -147,10 +164,19 @@ def integrate(
     gray_s = jnp.take(gray.reshape(-1), flat_idx).reshape(cfg.dims)
 
     sdf = depth_s - zc
-    valid = in_view & (depth_s > 0.0) & (sdf > -cfg.truncation)
-    tsdf_obs = jnp.clip(sdf / cfg.truncation, -1.0, 1.0)
+    # Per-voxel truncation band, widened with the OBSERVED surface depth
+    # (the noise source is the measurement, not the voxel position).
+    trunc = cfg.truncation + cfg.truncation_scale_sq * depth_s * depth_s
+    valid = in_view & (depth_s > 0.0) & (sdf > -trunc)
+    tsdf_obs = jnp.clip(sdf / trunc, -1.0, 1.0)
 
     w_old = volume.weight
+    if cfg.carve_decay > 0.0:
+        # Free-space observation conflicting with a stored surface:
+        # decay the stored weight so dynamic objects are carved out
+        # instead of lingering until the running average washes them.
+        conflict = valid & (sdf > trunc) & (volume.tsdf < 0.25)
+        w_old = jnp.where(conflict, w_old * (1.0 - cfg.carve_decay), w_old)
     w_obs = valid.astype(jnp.float32)
     w_new = w_old + w_obs
     w_safe = jnp.maximum(w_new, 1.0)

@@ -158,6 +158,85 @@ def test_integrate_updates_weight_and_is_donated_safe():
     assert float(jnp.max(vol.gray)) == pytest.approx(50.0)
 
 
+def test_adaptive_truncation_widens_far_band():
+    """With truncation_scale_sq > 0 the band behind a FAR surface is
+    wider: voxels outside the fixed band but inside the adaptive one get
+    integrated instead of skipped."""
+    # Flat wall at z = 2.0 m observed head-on from the origin.
+    h, w = 60, 80
+    k = np.array(
+        [[60.0, 0.0, 40.0], [0.0, 60.0, 30.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    depth = np.full((h, w), 2.0, np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    base = dict(
+        dims=(64, 8, 8), voxel_size=0.02, origin=(-0.08, -0.08, 0.9),
+        truncation=0.04,
+    )
+    gray = jnp.full((h, w), 50.0)
+
+    def fuse(cfg):
+        return integrate(
+            make_volume(cfg), jnp.asarray(depth), gray, jnp.asarray(k),
+            jnp.asarray(pose), cfg,
+        )
+
+    vol_fixed = fuse(TSDFConfig(**base))
+    vol_adapt = fuse(TSDFConfig(**base, truncation_scale_sq=0.03))
+    # tau_fixed = 4 cm; tau_adapt = 4 + 3*4 = 16 cm at z=2. A voxel 8 cm
+    # behind the wall (z ~ 2.08) is only integrated adaptively.
+    zs = base["origin"][2] + (np.arange(64) + 0.5) * base["voxel_size"]
+    probe = int(np.argmin(np.abs(zs - 2.08)))
+    assert float(vol_fixed.weight[probe, 4, 4]) == 0.0
+    assert float(vol_adapt.weight[probe, 4, 4]) == 1.0
+    # And the near side of the field is identical in sign structure:
+    # both see free space in front of the wall.
+    front = int(np.argmin(np.abs(zs - 1.5)))
+    assert float(vol_fixed.tsdf[front, 4, 4]) == 1.0
+    assert float(vol_adapt.tsdf[front, 4, 4]) == 1.0
+
+
+def test_space_carving_removes_moved_object():
+    """A surface that disappears (dynamic object) is carved out quickly
+    with carve_decay > 0 and lingers with standard averaging."""
+    h, w = 60, 80
+    k = np.array(
+        [[60.0, 0.0, 40.0], [0.0, 60.0, 30.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    pose = np.eye(4, dtype=np.float32)
+    near = np.full((h, w), 1.0, np.float32)  # object at 1 m
+    far = np.full((h, w), 2.5, np.float32)  # object gone; wall behind
+    gray = jnp.full((h, w), 50.0)
+
+    def run(carve):
+        cfg = TSDFConfig(
+            dims=(96, 8, 8), voxel_size=0.02, origin=(-0.08, -0.08, 0.5),
+            truncation=0.06, carve_decay=carve,
+        )
+        vol = make_volume(cfg)
+        for _ in range(8):  # object observed 8 frames
+            vol = integrate(vol, jnp.asarray(near), gray, jnp.asarray(k),
+                            jnp.asarray(pose), cfg)
+        for _ in range(4):  # then it moves away: 4 free-space views
+            vol = integrate(vol, jnp.asarray(far), gray, jnp.asarray(k),
+                            jnp.asarray(pose), cfg)
+        zs = cfg.origin[2] + (np.arange(96) + 0.5) * cfg.voxel_size
+        # Probe just BEHIND the old surface: that's where the stale
+        # object's negative field (and its zero crossing) lives.
+        probe = int(np.argmin(np.abs(zs - 1.05)))
+        return float(vol.tsdf[probe, 4, 4])
+
+    lingering = run(carve=0.0)
+    carved = run(carve=0.5)
+    # Standard averaging still shows a surface (zero crossing) after 4
+    # conflicting views; carving has fully freed the voxel.
+    assert lingering < 0.0
+    assert carved > 0.25
+    assert carved > lingering + 0.2
+
+
 @pytest.mark.parametrize("suffix", ["ply", "obj"])
 def test_reconstruct_cli_bundled(tmp_path, suffix):
     """End-to-end: track the (subset) bundled set, fuse, export a mesh.
