@@ -398,8 +398,9 @@ class SlamSession:
         """Process one frame; returns its (front-end) world pose."""
         if self._keyframe is None:
             fd = _preprocess(
-                jnp.asarray(image), jnp.asarray(depth), self._intrinsics,
-                jnp.float32(self.camera.depth_scale), self.config,
+                np.ascontiguousarray(image), np.ascontiguousarray(depth),
+                self._intrinsics,
+                np.float32(self.camera.depth_scale), self.config,
             )
             pose = np.eye(4)
             self._promote(fd, pose, None)
@@ -411,13 +412,16 @@ class SlamSession:
 
         # Track current frame against the keyframe; init from the composed
         # motion so far plus the last inter-frame increment (constant
-        # velocity in the keyframe's frame).
-        init = jnp.asarray(
-            (self._last_inc @ np.linalg.inv(self._rel_to_kf)).astype(np.float32)
-        )
+        # velocity in the keyframe's frame).  Frames and the init guess
+        # are passed to the jit as HOST arrays: explicit device_puts are
+        # each their own synchronous round trip on the relay transport
+        # (measured 2x the cost, RESULTS.md latency attribution); as jit
+        # arguments the uploads ride the single dispatch.
+        init = (self._last_inc @ np.linalg.inv(self._rel_to_kf)).astype(np.float32)
         fd, result, pack_d = _fused_step(
-            self._keyframe, jnp.asarray(image), jnp.asarray(depth),
-            self._intrinsics, jnp.float32(self.camera.depth_scale),
+            self._keyframe, np.ascontiguousarray(image),
+            np.ascontiguousarray(depth),
+            self._intrinsics, np.float32(self.camera.depth_scale),
             init, self.config,
         )
         self.last_result = result
