@@ -25,17 +25,21 @@ Matches come out at coarse-cell centers (8-px quantization) and are
 refined to subpixel by a FINE stage before the RANSAC rigid tail —
 LoFTR's own coarse-to-fine split.  Two fine stages exist:
 
-- **learned** (LoFTR's second stage, ``refine_matches_fine``): stride-2
-  feature windows (shared conv stem + a dedicated fine conv) around each
-  coarse match, correlation of the source center vector against the
-  target window, softmax heatmap, soft-argmax expectation -> continuous
-  subpixel target.  Trained jointly with the coarse loss on the same
-  rendered ground-truth correspondences (teacher-forced at the true
-  coarse cell).  Used automatically when the checkpoint contains the
-  fine-head parameters.
 - **classical** (ZNCC parabola fit, ``sparse.match_patches`` around the
-  predicted location): the fallback for checkpoints without a fine head,
-  and an ablation baseline.
+  predicted location): the DEFAULT — measured better end-to-end than the
+  in-repo-trained learned head (RESULTS.md "Learned fine stage").
+- **learned** (LoFTR's second stage, ``refine_matches_fine``, opt-in via
+  ``fine="learned"``): stride-2 feature windows (shared conv stem + a
+  dedicated fine conv) around each coarse match, cosine correlation of
+  the source center vector against the target window, softmax heatmap,
+  soft-argmax expectation -> continuous subpixel target.  Trained
+  jointly with the coarse loss on the same rendered ground-truth
+  correspondences (teacher-forced at the true coarse cell).  Beats the
+  4-px cell-center quantization baseline (2.52 vs 2.76 px holdout) but
+  NOT the direct photometric ZNCC fit — LoFTR's fine stage wins in its
+  original setting on the strength of large-scale pretrained features,
+  which an in-repo-trained 2-conv stem cannot reproduce; kept as the
+  architecture-parity component and for retraining on richer data.
 """
 
 from __future__ import annotations
@@ -233,8 +237,15 @@ def _fine_correlate(params, f1, f2, uv1, uv2):
     ui = j2[:, None] + dx[None, :]
     inb = (vi >= 0) & (vi < h2) & (ui >= 0) & (ui < w2)
     win = f2[jnp.clip(vi, 0, h2 - 1), jnp.clip(ui, 0, w2 - 1)]  # (K, W^2, C)
+    # Cosine correlation (safe L2: rsqrt keeps the gradient finite at
+    # zero vectors) over a learnable temperature: unnormalized features
+    # start tiny, the softmax starts uniform, and the soft-argmax
+    # gradient vanishes — measured as a fine head that never beat the
+    # quantization baseline in joint training.
+    cvec = cvec * jax.lax.rsqrt(jnp.sum(cvec * cvec, -1, keepdims=True) + 1e-8)
+    win = win * jax.lax.rsqrt(jnp.sum(win * win, -1, keepdims=True) + 1e-8)
     temp = jnp.maximum(params["fine_temperature"], 1e-3)
-    logits = jnp.einsum("kc,kwc->kw", cvec, win) / (np.sqrt(c) * temp)
+    logits = jnp.einsum("kc,kwc->kw", cvec, win) / temp
     heat = jax.nn.softmax(jnp.where(inb, logits, -1e9), axis=-1)
     exp_dy = heat @ dy.astype(jnp.float32)
     exp_dx = heat @ dx.astype(jnp.float32)
@@ -345,15 +356,17 @@ def track_sparse_learned(
     min_confidence: float = 0.2,
     refine_search: int = 6,
     min_zncc: float = 0.5,
-    fine: str = "auto",
+    fine: str = "zncc",
     **fit_kwargs,
 ):
     """Learned coarse matches -> subpixel refinement -> RANSAC rigid fit
     (jit-able end to end): the LoFTR pipeline shape of the reference
     (``loftr.py:86-106`` matching, ``:236-268`` geometric tail).
 
-    ``fine``: ``"learned"`` (the trained fine head), ``"zncc"`` (classical
-    parabola fit), or ``"auto"`` — learned iff the checkpoint has one.
+    ``fine``: ``"zncc"`` (classical parabola fit — the DEFAULT: measured
+    better end-to-end than the in-repo-trained head, RESULTS.md),
+    ``"learned"`` (the trained fine head), or ``"auto"`` — learned iff
+    the checkpoint has one.
     """
     from dense_visual_odometry_tpu.models.sparse import (
         fit_from_matches,
