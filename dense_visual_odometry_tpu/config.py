@@ -285,6 +285,17 @@ class RobustDVOConfig:
     # gross outliers at discontinuities/occlusions that would otherwise
     # dominate the quadratic depth cost.
     depth_huber_delta: float = 0.03
+    # Beyond-reference: photometric illumination compensation.  Real
+    # cameras auto-expose, so brightness constancy breaks by a per-frame
+    # gain/bias; the residual model gains nuisance unknowns that are
+    # eliminated EXACTLY per iteration via a Schur complement on the
+    # normal equations (no extra solve dimensions leave the reduction).
+    #   None    - plain brightness constancy (the reference's model);
+    #   "bias"  - r_i + c: one intensity offset per pair/level (handles
+    #             exposure-bias wander; ~3 extra reduced scalars).
+    # Excluded from the fused/level Pallas kernels (falls back to the
+    # XLA iteration path when set).
+    illumination: Optional[str] = None
     # Reference-parity quirk modes (for the golden-oracle tests,
     # tests/reference_oracle/): feed RAW ksize-3 Sobel values (gain 8)
     # into the Jacobian like the reference (jacobian.py:70-71 feeds
@@ -318,6 +329,8 @@ class RobustDVOConfig:
             raise ValueError("lm_lambda0 must be positive or None")
         if self.lm_up <= 1.0 or not (0.0 < self.lm_down < 1.0):
             raise ValueError("need lm_up > 1 and 0 < lm_down < 1")
+        if self.illumination not in (None, "bias"):
+            raise ValueError("illumination must be None or 'bias'")
         if self.recenter_blocks is not None:
             if self.recenter_blocks < 1:
                 raise ValueError("recenter_blocks must be >= 1 or None")

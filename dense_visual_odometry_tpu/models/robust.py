@@ -182,6 +182,35 @@ class _LMCarry(NamedTuple):
     done: jnp.ndarray  # bool
 
 
+def _bias_schur(sys, residuals, jacobian, weights):
+    """Eliminate a global intensity-bias unknown from the GN system.
+
+    Joint model ``r_i ~ J_i delta + c`` (c = per-pair exposure offset):
+    with the ones-column block ``g = sum w J_i`` (6,), ``s = sum w``,
+    ``b_c = -sum w r``, the Schur complement onto the pose block is
+    ``H' = H - g g^T / s``, ``b' = b - g b_c / s``.  The reported error
+    becomes the bias-minimized ``sum w (r - mu)^2 / count`` with
+    ``mu = sum w r / s`` — consistent with what the solve optimizes, so
+    the stopping rules see the right objective.  Three extra reduced
+    scalars + a rank-1 update; nothing pixel-sized is touched.
+    """
+    batch_shape = jacobian.shape[:-3] if jacobian.ndim >= 3 else ()
+    jac = jacobian.reshape(batch_shape + (-1, 6))
+    res = residuals.reshape(batch_shape + (-1,))
+    wts = weights.reshape(batch_shape + (-1,))
+    g = jnp.einsum("...ni,...n->...i", jac, wts)
+    s = jnp.sum(wts, axis=-1)
+    rho = jnp.sum(wts * res, axis=-1)  # = -b_c
+    s_safe = jnp.maximum(s, 1e-6)
+    hess = sys.hessian - (
+        g[..., :, None] * g[..., None, :] / s_safe[..., None, None]
+    )
+    rhs = sys.rhs + g * (rho / s_safe)[..., None]
+    mu = rho / s_safe
+    error = sys.error - s * mu * mu / jnp.maximum(sys.count, 1.0)
+    return sys._replace(hessian=hess, rhs=rhs, error=error)
+
+
 def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None):
     """Levenberg-Marquardt trust-region iteration (``cfg.lm_lambda0`` set).
 
@@ -338,6 +367,7 @@ def _solve_level(
         and cfg.use_fused_iteration
         and cfg.approximate_image2_gradient
         and not cfg.use_depth_residuals
+        and cfg.illumination is None
     )
     use_esm = (
         cfg.use_esm_gradients
@@ -525,6 +555,15 @@ def _solve_level(
                 gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
                 grads[0], grads[1], grid_stride=stride,
             )
+        if cfg.illumination == "bias":
+            # Center by the valid-pixel mean BEFORE robust weighting so
+            # the t-scale sees exposure-free residuals; the Schur step
+            # below then eliminates the remaining weighted bias exactly.
+            nv = jnp.sum(valid, (-2, -1)).astype(jnp.float32)
+            mu0 = jnp.sum(jnp.where(valid, res, 0.0), (-2, -1)) / jnp.maximum(
+                nv, 1.0
+            )
+            res = jnp.where(valid, res - mu0[..., None, None], 0.0)
         if cfg.use_weighter:
             weights, weight_lambda = t_distribution_weights_with_scale(
                 res * res, valid, cfg.weighter, event_ndim=2,
@@ -533,6 +572,8 @@ def _solve_level(
         else:
             weights = valid.astype(jnp.float32)
         sys = normal_equations(res, jac, weights, valid)
+        if cfg.illumination == "bias":
+            sys = _bias_schur(sys, res, jac, weights)
 
         hess, rhs, err = sys.hessian, sys.rhs, sys.error
         if cfg.use_depth_residuals:
