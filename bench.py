@@ -36,11 +36,12 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_FILE = REPO / "benchmarks" / "baseline.json"
-# Headline batch = the measured throughput ceiling (B=256 since round 3:
-# 640.4 vs 602.8 fps at B=128, benchmarks/exp_b256.py; scaling table in
-# benchmarks/RESULTS.md).  The BASELINE.json config-3 shape (64
-# pairs/chip) is timed alongside and reported as ``fps_b64``.
-BATCH = 256
+# Headline batch = the measured throughput ceiling (B=512 late round 3:
+# 647.3 vs 624.1 fps at B=256 in-session, benchmarks/exp_b256.py
+# --batches 256 512; scaling table in benchmarks/RESULTS.md).  The
+# BASELINE.json config-3 shape (64 pairs/chip) is timed alongside and
+# reported as ``fps_b64``.
+BATCH = 512
 CONFIG3_BATCH = 64
 WARMUP = 1
 ITERS = 3

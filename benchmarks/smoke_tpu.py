@@ -9,6 +9,7 @@ real TPU at SMALL shapes (seconds, not minutes) for:
 
 1. the shipped no-prior config,
 2. the motion-prior config (exercises ``_se3_log_scalars`` on-chip),
+3. the exposure-bias config (in-kernel centering + Schur reductions),
 
 and checks the recovered motion against the known synthetic shift and
 against the XLA-loop twin.
@@ -94,6 +95,9 @@ def main():
         ("no_prior", {}),
         ("prior", {"sigma": 2e-7}),
         ("prior_ref_energy", {"sigma": 1e-4, "reference_prior_energy": True}),
+        # In-kernel exposure-bias elimination (centering + the (s, rho,
+        # g) reductions + rank-1 Schur) must lower in Mosaic too.
+        ("illum_bias", {"illumination": "bias"}),
     ):
         cfg_k = RobustDVOConfig(**base, use_level_kernel=True, **extra)
         cfg_x = RobustDVOConfig(**base, use_level_kernel=False, **extra)

@@ -59,7 +59,7 @@ def parse_args(argv=None):
                         "(models/matcher.py, committed weights)")
     parser.add_argument("--host-gray", action="store_true",
                         help="convert RGB to uint8 gray on the HOST before "
-                        "upload (reference uint8-gray semantics; ~40% "
+                        "upload (reference uint8-gray semantics; ~40%% "
                         "smaller per-frame payload — the lever when the "
                         "host->device link, not compute, bounds latency)")
     parser.add_argument("--pyr-down", action="store_true",

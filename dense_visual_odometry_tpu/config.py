@@ -290,11 +290,14 @@ class RobustDVOConfig:
     # gain/bias; the residual model gains nuisance unknowns that are
     # eliminated EXACTLY per iteration via a Schur complement on the
     # normal equations (no extra solve dimensions leave the reduction).
-    #   None    - plain brightness constancy (the reference's model);
-    #   "bias"  - r_i + c: one intensity offset per pair/level (handles
-    #             exposure-bias wander; ~3 extra reduced scalars).
-    # Excluded from the fused/level Pallas kernels (falls back to the
-    # XLA iteration path when set).
+    #   None     - plain brightness constancy (the reference's model);
+    #   "bias"   - r_i + c: one intensity offset per pair/level (handles
+    #              exposure-bias wander; ~3 extra reduced scalars);
+    #   "affine" - r_i + a*I1_i + c: gain AND offset (handles
+    #              auto-exposure gain wander; ~8 extra reduced scalars).
+    # "bias" rides the fused/level Pallas kernels (in-kernel centering
+    # + reduced scalars, rank-1 Schur); "affine" falls back to the XLA
+    # iteration path.
     illumination: Optional[str] = None
     # Reference-parity quirk modes (for the golden-oracle tests,
     # tests/reference_oracle/): feed RAW ksize-3 Sobel values (gain 8)
@@ -329,8 +332,8 @@ class RobustDVOConfig:
             raise ValueError("lm_lambda0 must be positive or None")
         if self.lm_up <= 1.0 or not (0.0 < self.lm_down < 1.0):
             raise ValueError("need lm_up > 1 and 0 < lm_down < 1")
-        if self.illumination not in (None, "bias"):
-            raise ValueError("illumination must be None or 'bias'")
+        if self.illumination not in (None, "bias", "affine"):
+            raise ValueError("illumination must be None, 'bias' or 'affine'")
         if self.recenter_blocks is not None:
             if self.recenter_blocks < 1:
                 raise ValueError("recenter_blocks must be >= 1 or None")

@@ -211,6 +211,47 @@ def _bias_schur(sys, residuals, jacobian, weights):
     return sys._replace(hessian=hess, rhs=rhs, error=error)
 
 
+def _affine_schur(sys, residuals, jacobian, weights, template_c):
+    """Eliminate a gain+bias pair: joint model ``r_i ~ J_i delta + a*I_i + c``.
+
+    ``template_c`` is the valid-mean-CENTERED template intensity plane;
+    centering decorrelates the gain and bias nuisance columns so the 2x2
+    block ``S = N^T W N`` (``N_i = [I_i, 1]``) stays well-conditioned in
+    f32 (exactness is unaffected — span([I,1]) == span([I-mu,1])).  Schur
+    onto the pose block with ``G = J^T W N`` (6x2), ``t = N^T W r``:
+    ``H' = H - G S^-1 G^T``, ``b' = b + G S^-1 t``, and the reported
+    error drops by ``t^T S^-1 t / count`` — the affine-minimized
+    objective the stopping rules should see.  Closed-form 2x2 inverse;
+    six extra reduced scalars + two rank-1 updates.
+    """
+    batch_shape = jacobian.shape[:-3] if jacobian.ndim >= 3 else ()
+    jac = jacobian.reshape(batch_shape + (-1, 6))
+    res = residuals.reshape(batch_shape + (-1,))
+    wts = weights.reshape(batch_shape + (-1,))
+    tpl = template_c.reshape(batch_shape + (-1,))
+    s_ii = jnp.sum(wts * tpl * tpl, axis=-1)
+    s_i1 = jnp.sum(wts * tpl, axis=-1)
+    s_11 = jnp.sum(wts, axis=-1)
+    t_i = jnp.sum(wts * tpl * res, axis=-1)
+    t_1 = jnp.sum(wts * res, axis=-1)
+    det = jnp.maximum(s_ii * s_11 - s_i1 * s_i1, 1e-6)
+    g_i = jnp.einsum("...ni,...n->...i", jac, wts * tpl)  # J^T W I  (6,)
+    g_1 = jnp.einsum("...ni,...n->...i", jac, wts)  # J^T W 1  (6,)
+    beta_i = (s_11 * t_i - s_i1 * t_1) / det  # S^-1 t
+    beta_1 = (s_ii * t_1 - s_i1 * t_i) / det
+    m_i = (s_11[..., None] * g_i - s_i1[..., None] * g_1) / det[..., None]
+    m_1 = (s_ii[..., None] * g_1 - s_i1[..., None] * g_i) / det[..., None]
+    hess = sys.hessian - (
+        g_i[..., :, None] * m_i[..., None, :]
+        + g_1[..., :, None] * m_1[..., None, :]
+    )
+    rhs = sys.rhs + g_i * beta_i[..., None] + g_1 * beta_1[..., None]
+    error = sys.error - (t_i * beta_i + t_1 * beta_1) / jnp.maximum(
+        sys.count, 1.0
+    )
+    return sys._replace(hessian=hess, rhs=rhs, error=error)
+
+
 def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None):
     """Levenberg-Marquardt trust-region iteration (``cfg.lm_lambda0`` set).
 
@@ -367,7 +408,9 @@ def _solve_level(
         and cfg.use_fused_iteration
         and cfg.approximate_image2_gradient
         and not cfg.use_depth_residuals
-        and cfg.illumination is None
+        # "bias" rides the fused kernels (3 extra reduced scalars + a
+        # rank-1 Schur); "affine" falls back to the XLA loop.
+        and cfg.illumination in (None, "bias")
     )
     use_esm = (
         cfg.use_esm_gradients
@@ -511,6 +554,7 @@ def _solve_level(
                 unroll=cfg.weighter.unroll_iterations or 3,
                 use_tweights=cfg.use_weighter,
                 normalize_scale=cfg.weighter.normalize_scale,
+                illum_bias=cfg.illumination == "bias",
                 frozen=frozen_win,
             )
             photometric_hess = hess
@@ -555,15 +599,28 @@ def _solve_level(
                 gray_prev, depth_prev_m, gray_curr, intrinsics, estimate,
                 grads[0], grads[1], grid_stride=stride,
             )
-        if cfg.illumination == "bias":
-            # Center by the valid-pixel mean BEFORE robust weighting so
-            # the t-scale sees exposure-free residuals; the Schur step
-            # below then eliminates the remaining weighted bias exactly.
-            nv = jnp.sum(valid, (-2, -1)).astype(jnp.float32)
-            mu0 = jnp.sum(jnp.where(valid, res, 0.0), (-2, -1)) / jnp.maximum(
-                nv, 1.0
+        tpl_c = None
+        if cfg.illumination is not None:
+            # Remove the best unweighted illumination fit BEFORE robust
+            # weighting so the t-scale sees exposure-free residuals; the
+            # Schur step below then eliminates the remaining WEIGHTED
+            # nuisance exactly each iteration.
+            nv = jnp.maximum(
+                jnp.sum(valid, (-2, -1)).astype(jnp.float32), 1.0
             )
-            res = jnp.where(valid, res - mu0[..., None, None], 0.0)
+            mu_r = jnp.sum(jnp.where(valid, res, 0.0), (-2, -1)) / nv
+            res = jnp.where(valid, res - mu_r[..., None, None], 0.0)
+            if cfg.illumination == "affine":
+                tpl_mu = jnp.sum(
+                    jnp.where(valid, gray_prev, 0.0), (-2, -1)
+                ) / nv
+                tpl_c = jnp.where(
+                    valid, gray_prev - tpl_mu[..., None, None], 0.0
+                )
+                alpha = jnp.sum(tpl_c * res, (-2, -1)) / jnp.maximum(
+                    jnp.sum(tpl_c * tpl_c, (-2, -1)), 1e-6
+                )
+                res = res - alpha[..., None, None] * tpl_c
         if cfg.use_weighter:
             weights, weight_lambda = t_distribution_weights_with_scale(
                 res * res, valid, cfg.weighter, event_ndim=2,
@@ -574,6 +631,8 @@ def _solve_level(
         sys = normal_equations(res, jac, weights, valid)
         if cfg.illumination == "bias":
             sys = _bias_schur(sys, res, jac, weights)
+        elif cfg.illumination == "affine":
+            sys = _affine_schur(sys, res, jac, weights, tpl_c)
 
         hess, rhs, err = sys.hessian, sys.rhs, sys.error
         if cfg.use_depth_residuals:
@@ -895,6 +954,7 @@ def _solve_level(
                 n_blocks=cfg.recenter_blocks if use_blocks else 1,
                 sigma=cfg.sigma,
                 reference_prior_energy=cfg.reference_prior_energy,
+                illum_bias=cfg.illumination == "bias",
                 radius_y=(
                     cfg.shift_stack_radius_y
                     if use_blocks and cfg.shift_stack_radius_y is not None

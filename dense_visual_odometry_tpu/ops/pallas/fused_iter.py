@@ -49,7 +49,8 @@ from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
 
 # SMEM output row layout per batch element:
 #   [0:36)  H row-major | [36:42) b | 42 err_sum | 43 count | 44 lambda
-_OUT_COLS = 48
+#   | with illum_bias: 45 s=sum(w) | 46 rho=sum(w r) | [47:53) g=sum(w J)
+_OUT_COLS = 56
 
 
 def _fused_kernel(
@@ -61,6 +62,7 @@ def _fused_kernel(
     unroll: int,
     use_tweights: bool,
     normalize_scale: bool,
+    illum_bias: bool,
 ):
     def kernel(
         planes_ref, du_ref, dv_ref, gray_ref, valid_ref, jac_ref, lam_ref,
@@ -101,9 +103,16 @@ def _fused_kernel(
         # where (not multiply): invalid pixels can carry non-finite
         # accumulator values and NaN * 0 == NaN.
         res = jnp.where(valid > 0.0, acc_ref[...] - gray_ref[0], 0.0)
-        rsq = res * res
         count = jnp.sum(valid)
         count_safe = jnp.maximum(count, 1.0)
+        if illum_bias:
+            # Valid-mean centering before the t-scale (res is already 0
+            # on invalid pixels), mirroring models/robust.py's bias
+            # pre-centering; the host applies the exact weighted Schur
+            # elimination on the reduced scalars emitted below.
+            mu0 = jnp.sum(res) / count_safe
+            res = jnp.where(valid > 0.0, res - mu0, 0.0)
+        rsq = res * res
 
         lam = lam_ref[bi, 0]
         if use_tweights:
@@ -130,8 +139,16 @@ def _fused_kernel(
         out_ref[bi, 42] = jnp.sum(weights * rsq)
         out_ref[bi, 43] = count
         out_ref[bi, 44] = lam
-        for k in range(45, _OUT_COLS):
-            out_ref[bi, k] = 0.0
+        if illum_bias:
+            out_ref[bi, 45] = jnp.sum(weights)
+            out_ref[bi, 46] = jnp.sum(weights * res)
+            for i in range(6):
+                out_ref[bi, 47 + i] = jnp.sum(jw[i])
+            for k in range(53, _OUT_COLS):
+                out_ref[bi, k] = 0.0
+        else:
+            for k in range(45, _OUT_COLS):
+                out_ref[bi, k] = 0.0
 
     return kernel
 
@@ -140,7 +157,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=(
         "radius", "grid_stride", "dof", "unroll", "use_tweights",
-        "normalize_scale", "interpret",
+        "normalize_scale", "illum_bias", "interpret",
     ),
 )
 def fused_iteration_pallas(
@@ -157,6 +174,7 @@ def fused_iteration_pallas(
     unroll: int = 3,
     use_tweights: bool = True,
     normalize_scale: bool = True,
+    illum_bias: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the fused iteration kernel over a (B,)-grid.
@@ -173,7 +191,7 @@ def fused_iteration_pallas(
     hp, wp = du.shape[-2], du.shape[-1]
     kernel = _fused_kernel(
         radius, hp, wp, grid_stride, dof, unroll, use_tweights,
-        normalize_scale,
+        normalize_scale, illum_bias,
     )
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
     img_spec = lambda: pl.BlockSpec(  # noqa: E731
@@ -232,6 +250,7 @@ def fused_shift_iteration(
     unroll: int = 3,
     use_tweights: bool = True,
     normalize_scale: bool = True,
+    illum_bias: bool = False,
     interpret: bool = False,
     jacobian_planes: jnp.ndarray | None = None,
     frozen: (
@@ -320,12 +339,25 @@ def fused_shift_iteration(
         jnp.asarray(lam0, jnp.float32).reshape(-1, 1),
         radius=radius, grid_stride=grid_stride, dof=dof, unroll=unroll,
         use_tweights=use_tweights, normalize_scale=normalize_scale,
-        interpret=interpret,
+        illum_bias=illum_bias, interpret=interpret,
     )
     hess = out[:, :36].reshape(-1, 6, 6)
     rhs = out[:, 36:42]
     count = out[:, 43]
-    err = out[:, 42] / jnp.maximum(count, 1.0)
+    err_sum = out[:, 42]
+    if illum_bias:
+        # Exact per-iteration Schur elimination of the exposure-bias
+        # unknown on the kernel's reduced scalars (models/robust.
+        # _bias_schur algebra): H' = H - g g^T/s, b' = b + g rho/s,
+        # err' = err - rho^2/s.
+        s = out[:, 45]
+        rho = out[:, 46]
+        g = out[:, 47:53]
+        s_safe = jnp.maximum(s, 1e-6)
+        hess = hess - g[:, :, None] * g[:, None, :] / s_safe[:, None, None]
+        rhs = rhs + g * (rho / s_safe)[:, None]
+        err_sum = err_sum - rho * rho / s_safe
+    err = err_sum / jnp.maximum(count, 1.0)
     lam = out[:, 44]
     if squeeze:
         return hess[0], rhs[0], err[0], count[0], lam[0]

@@ -280,6 +280,7 @@ def _level_kernel(
     grid_hp: int = 0,
     sigma: float | None = None,
     reference_prior_energy: bool = False,
+    illum_bias: bool = False,
 ):
     fmax = float(jnp.finfo(jnp.float32).max)
     use_prior = sigma is not None
@@ -401,9 +402,15 @@ def _level_kernel(
                         acc_ref[...] = acc_ref[...] + (wy * wx) * shifted
 
             res = jnp.where(valid > 0.0, acc_ref[...] - gray, 0.0)
-            rsq = res * res
             count = jnp.sum(valid)
             count_safe = jnp.maximum(count, 1.0)
+            if illum_bias:
+                # Valid-mean centering before the t-scale, then an exact
+                # weighted Schur elimination of the exposure-bias
+                # unknown below (models/robust._bias_schur semantics).
+                mu0 = jnp.sum(res) / count_safe
+                res = jnp.where(valid > 0.0, res - mu0, 0.0)
+            rsq = res * res
             lam = wlam
             if use_tweights:
                 dofc = jnp.float32(dof)
@@ -424,6 +431,23 @@ def _level_kernel(
             )
             rhs = tuple(-jnp.sum(jw[i] * res) for i in range(6))
             err = jnp.sum(weights * rsq) / count_safe
+            if illum_bias:
+                # Rank-1 Schur onto the pose block: H' = H - g g^T/s,
+                # b' = b + g rho/s, err' = err - rho^2/s/count (applied
+                # BEFORE the prior, exactly like the XLA path).
+                s_w = jnp.sum(weights)
+                rho = jnp.sum(weights * res)
+                s_safe = jnp.maximum(s_w, 1e-6)
+                g6 = tuple(jnp.sum(jw[i]) for i in range(6))
+                pairs = [(i, j) for i in range(6) for j in range(i, 6)]
+                h21 = tuple(
+                    h - g6[i] * g6[j] / s_safe
+                    for (i, j), h in zip(pairs, h21)
+                )
+                rhs = tuple(
+                    r + g6[i] * rho / s_safe for i, r in enumerate(rhs)
+                )
+                err = err - rho * rho / s_safe / count_safe
             if use_prior:
                 # Motion prior (eval_mode in models/robust.py:
                 # H += (1/sigma) I, b += (1/sigma) log(anchor), plus the
@@ -563,7 +587,7 @@ def _level_kernel(
         "unroll", "use_tweights", "normalize_scale", "tolerance",
         "lm_lambda0", "lm_up", "lm_down", "lm_lambda_max",
         "max_iterations", "interpret", "n_blocks", "block_rows", "halo",
-        "grid_hp", "sigma", "reference_prior_energy",
+        "grid_hp", "sigma", "reference_prior_energy", "illum_bias",
     ),
 )
 def lm_level_pallas(
@@ -594,6 +618,7 @@ def lm_level_pallas(
     radius_y: int | None = None,
     sigma: float | None = None,
     reference_prior_energy: bool = False,
+    illum_bias: bool = False,
 ) -> jnp.ndarray:
     """Run the level-fused LM solver over a (B,)-grid.
 
@@ -616,6 +641,7 @@ def lm_level_pallas(
         n_blocks=n_blocks, block_rows=block_rows, halo=halo,
         grid_hp=grid_hp, sigma=sigma,
         reference_prior_energy=reference_prior_energy,
+        illum_bias=illum_bias,
     )
     in_cols = scal.shape[-1]
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
@@ -695,6 +721,7 @@ def solve_level_fused(
     radius_y: int | None = None,
     sigma: float | None = None,
     reference_prior_energy: bool = False,
+    illum_bias: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Batch-shaped wrapper: one level solved end-to-end on-chip.
@@ -831,6 +858,7 @@ def solve_level_fused(
         max_iterations=max_iterations, interpret=interpret,
         n_blocks=nblk, block_rows=t_rows, halo=halo, grid_hp=grid_hp,
         sigma=sigma, reference_prior_energy=reference_prior_energy,
+        illum_bias=illum_bias,
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)

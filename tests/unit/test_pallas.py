@@ -89,7 +89,7 @@ class TestStackWarpKernel:
 
 
 class TestFusedIterationKernel:
-    def _problem(self, rng, b=2, h=40, w=56, stride=1):
+    def _problem(self, rng, b=2, h=40, w=56, stride=1, illum_bias=False):
         """Random-but-realistic fused-iteration inputs plus the XLA
         reference computation with matched weighter semantics."""
         from dense_visual_odometry_tpu.config import TWeighterConfig
@@ -123,11 +123,21 @@ class TestFusedIterationKernel:
         )
         valid = valid_geom & warp_ok
         res = jnp.where(valid, warped - gray_prev, 0.0)
+        if illum_bias:
+            # Mirror models/robust.py's bias path: valid-mean centering
+            # before the t-scale, weighted Schur elimination after.
+            nv = jnp.maximum(jnp.sum(valid, (-2, -1)).astype(jnp.float32), 1.0)
+            mu0 = jnp.sum(res, (-2, -1)) / nv
+            res = jnp.where(valid, res - mu0[..., None, None], 0.0)
         weights, lam_ref = t_distribution_weights_with_scale(
             res * res, valid, wcfg, event_ndim=2, init_lambda=lam0
         )
         jac_m = jnp.where(valid[..., None], jac, 0.0)
         ref = normal_equations(res, jac_m, weights, valid)
+        if illum_bias:
+            from dense_visual_odometry_tpu.models.robust import _bias_schur
+
+            ref = _bias_schur(ref, res, jac_m, weights)
         inputs = dict(
             gray_prev=gray_prev, gray_curr=img, u=u, v=v,
             valid_geom=valid_geom, jacobian=jac, lam0=lam0,
@@ -144,6 +154,39 @@ class TestFusedIterationKernel:
         inputs, ref, lam_ref = self._problem(rng, stride=stride)
         hess, rhs, err, count, lam = fused_shift_iteration(
             **inputs, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(count), np.asarray(ref.count))
+        np.testing.assert_allclose(
+            np.asarray(lam), np.asarray(lam_ref), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(err), np.asarray(ref.error), rtol=1e-4
+        )
+        scale = max(np.abs(np.asarray(ref.hessian)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(hess) / scale, np.asarray(ref.hessian) / scale,
+            atol=1e-5,
+        )
+        bscale = max(np.abs(np.asarray(ref.rhs)).max(), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(rhs) / bscale, np.asarray(ref.rhs) / bscale, atol=1e-5
+        )
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_illum_bias_matches_xla_pipeline(self, rng, stride):
+        """With illum_bias the kernel centers residuals by the valid
+        mean before the t-scale and emits the (s, rho, g) reductions;
+        the host-side rank-1 Schur must reproduce the XLA bias path
+        (center -> weights -> normal_equations -> _bias_schur)."""
+        from dense_visual_odometry_tpu.ops.pallas.fused_iter import (
+            fused_shift_iteration,
+        )
+
+        inputs, ref, lam_ref = self._problem(
+            rng, stride=stride, illum_bias=True
+        )
+        hess, rhs, err, count, lam = fused_shift_iteration(
+            **inputs, illum_bias=True, interpret=True
         )
         np.testing.assert_allclose(np.asarray(count), np.asarray(ref.count))
         np.testing.assert_allclose(
