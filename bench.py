@@ -10,8 +10,19 @@ batched 4-level IRLS tracker (`parallel.batched_track_pair`) — the
 BASELINE.json config-3 shape.  Steady-state timing over several
 iterations after warmup, with every iteration synchronized by a host read
 of the result (``block_until_ready`` is advisory on tunneled backends).
-ATE-RMSE from a full sequential session pass is attached so accuracy and
-speed are recorded together.
+
+Configs are loaded from the SHIPPED JSON files (single source of truth —
+round-3 VERDICT weak #2):
+
+- ``configs/tpu_fast.json``   -> headline fps (``value``), ``fps_b64``,
+  ``latency_ms_b1``, bundled-set ``ate_rmse_m``;
+- ``configs/tpu_parity.json`` -> ``fps_parity`` (batched throughput at the
+  config that meets the 8.8 mm reference-semantics bound on the 500-frame
+  fr1-difficulty set) and ``ate_hard_mm`` (that config's ATE on that set,
+  measured HERE through the full benchmark CLI; the set is regenerated
+  deterministically by ``apps/make_dataset.py --motion handheld-fr1
+  --seed 0`` when absent).  Speed and accuracy of the SAME config ride in
+  the same JSON line — the honest pair.
 
 Baseline: the reference (pfontana96/dense-visual-odometry) cannot run in
 this image — its CPU tier is Numba JIT and numba is not installed.
@@ -22,7 +33,9 @@ measured fps over that.
 
 A watchdog guards against a wedged device/tunnel: if the run exceeds
 WATCHDOG_S, a JSON line with ``"error"`` is printed so the harness always
-records a result.
+records a result.  The parity/hard-set measurements degrade gracefully:
+past PARITY_DEADLINE_FRAC of the budget they are skipped (fields set to
+None) rather than risking the watchdog.
 """
 
 import json
@@ -36,6 +49,9 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_FILE = REPO / "benchmarks" / "baseline.json"
+FAST_CONFIG = REPO / "configs" / "tpu_fast.json"
+PARITY_CONFIG = REPO / "configs" / "tpu_parity.json"
+HARD_SET = REPO / "out" / "fr1_synth_500"
 # Headline batch = the measured throughput ceiling (B=512 late round 3:
 # 647.3 vs 624.1 fps at B=256 in-session, benchmarks/exp_b256.py
 # --batches 256 512; scaling table in benchmarks/RESULTS.md).  The
@@ -46,6 +62,7 @@ CONFIG3_BATCH = 64
 WARMUP = 1
 ITERS = 3
 WATCHDOG_S = float(os.environ.get("DVO_BENCH_WATCHDOG_S", "1500"))
+PARITY_DEADLINE_FRAC = 0.6  # skip parity extras past this budget fraction
 
 
 def _baseline():
@@ -73,6 +90,7 @@ def _watchdog():
 
 
 def main():
+    t_start = time.perf_counter()
     timer = threading.Timer(WATCHDOG_S, _watchdog)
     timer.daemon = True
     timer.start()
@@ -87,35 +105,21 @@ def main():
     import numpy as np
 
     from dense_visual_odometry_tpu import metrics
-    from dense_visual_odometry_tpu.config import RobustDVOConfig, TWeighterConfig
+    from dense_visual_odometry_tpu.config import RobustDVOConfig
     from dense_visual_odometry_tpu.io import load_bundled_sequence
     from dense_visual_odometry_tpu.models.robust import preprocess_frame
     from dense_visual_odometry_tpu.models.session import OdometrySession
     from dense_visual_odometry_tpu.parallel import batched_track_pair, stack_frame_data
 
-    # TPU-tuned configuration (round 2): packed f16 tap sampling,
-    # gather-free recentered shift-stack warping at levels 0-2 via the
-    # LEVEL-FUSED Pallas solver kernel (the whole per-level LM loop in
-    # one launch, ops/pallas/level_solver.py), per-level grid
-    # decimation, LM trust region with predictive stopping, hard-motion
-    # fallback + robust init selection (production-safe) — measured at
-    # ATE parity with the reference-default configuration on this set
-    # (4.24 vs 4.08 mm).  Batch 64 per chip = BASELINE.json config-3
-    # shape.
-    cfg = RobustDVOConfig(
-        levels=4, max_iterations=12, use_weighter=True,
-        packed_sampling=True, grid_strides=(2, 2, 1, 1),
-        weighter=TWeighterConfig(scale_subsample=4),
-        shift_stack_radius=3, shift_stack_levels=(0, 1, 2),
-        approximate_image2_gradient=True,
-        relative_tolerance=1e-2,
-        lm_lambda0=1e-4,
-        use_pallas_stack=True,
-        use_fused_iteration=True,
-        freeze_shift_window=True,
-        use_level_kernel=True,
-        shift_stack_fallback=True,
-        robust_init_selection=True,
+    # The shipped configs, verbatim (fast: packed f16 tap sampling,
+    # level-fused Pallas LM solver, per-level grid decimation — ATE
+    # parity with reference-default on the bundled set at 4.2 vs 4.1 mm;
+    # parity: the stopping/illumination tier that meets the 8.8 mm
+    # reference-semantics bound on the 500-frame fr1-difficulty set, see
+    # benchmarks/RESULTS.md Pareto table).
+    cfg = RobustDVOConfig.from_json(FAST_CONFIG)
+    cfg_parity = (
+        RobustDVOConfig.from_json(PARITY_CONFIG) if PARITY_CONFIG.exists() else None
     )
     seq = load_bundled_sequence()
 
@@ -137,11 +141,11 @@ def main():
             stack_frame_data([c for _, c in pairs]),
         )
 
-    def measure(n):
+    def measure(n, config):
         prev_b, curr_b = batch_of(n)
 
         def run_once():
-            out = batched_track_pair(prev_b, curr_b, k, cfg)
+            out = batched_track_pair(prev_b, curr_b, k, config)
             # Force completion with a real read: on tunneled remote
             # backends block_until_ready can return before execution
             # finishes.
@@ -159,8 +163,8 @@ def main():
         elapsed = time.perf_counter() - t0
         return n * ITERS / elapsed, elapsed / ITERS * 1e3, out, iter_fps
 
-    fps_b64, _, _, _ = measure(CONFIG3_BATCH)
-    fps, ms_per_batch, out, iter_fps = measure(BATCH)
+    fps_b64, _, _, _ = measure(CONFIG3_BATCH, cfg)
+    fps, ms_per_batch, out, iter_fps = measure(BATCH, cfg)
 
     # Accuracy + streaming latency: sequential session over the 10
     # frames, per-frame wall time measured HOST-to-HOST (rgb/depth numpy
@@ -180,6 +184,32 @@ def main():
     latency_ms_b1 = float(np.median(frame_ms[2:]))
     gt_rel = np.einsum("ij,njk->nik", np.linalg.inv(seq.gt_poses[0]), seq.gt_poses)
     ate, _ = metrics.ate_rmse(poses, gt_rel)
+
+    # Parity tier: batched throughput + hard-set accuracy of the SAME
+    # config, so the headline JSON carries an honest speed/accuracy pair
+    # (round-3 VERDICT weak #3).  Skipped (None) if the budget is tight.
+    fps_parity = ate_hard_mm = parity_ms_hard = None
+    budget_left = WATCHDOG_S - (time.perf_counter() - t_start)
+    if cfg_parity is not None and budget_left > (1 - PARITY_DEADLINE_FRAC) * WATCHDOG_S:
+        fps_parity, _, out_p, _ = measure(BATCH, cfg_parity)
+        fps_parity = round(fps_parity, 2)
+        try:
+            if not HARD_SET.exists():
+                from dense_visual_odometry_tpu.apps import make_dataset
+
+                make_dataset.main(
+                    ["-o", str(HARD_SET), "--frames", "500",
+                     "--motion", "handheld-fr1", "--seed", "0"]
+                )
+            from dense_visual_odometry_tpu.apps import benchmark as bench_cli
+
+            summary = bench_cli.run(bench_cli.parse_args(
+                ["tum-fr1", "-d", str(HARD_SET), "-c", str(PARITY_CONFIG)]
+            ))
+            ate_hard_mm = round(summary["ate_rmse_m"] * 1e3, 2)
+            parity_ms_hard = round(summary["median_frame_ms"], 1)
+        except Exception as exc:  # degrade, don't lose the headline
+            ate_hard_mm = f"error: {exc}"
 
     baseline_fps, ceiling_fps = _baseline()
     result = {
@@ -203,6 +233,17 @@ def main():
         "fps_iters": [round(f, 1) for f in iter_fps],
         "latency_ms_b1": round(latency_ms_b1, 1),
         "ate_rmse_m": round(ate, 5),
+        # Parity tier (configs/tpu_parity.json): same-config speed +
+        # 500-frame fr1-difficulty accuracy.  The reference-semantics
+        # bound on that set is 8.8 mm (benchmarks/RESULTS.md).
+        "fps_parity": fps_parity,
+        "ate_hard_mm": ate_hard_mm,
+        "parity_ms_per_frame_b1": parity_ms_hard,
+        "vs_baseline_parity": (
+            round(fps_parity / baseline_fps, 2)
+            if isinstance(fps_parity, float) and baseline_fps
+            else None
+        ),
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "all_success": bool(np.asarray(out.success).all()),

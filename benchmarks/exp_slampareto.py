@@ -1,0 +1,99 @@
+"""SLAM keyframe-tracking cost: iteration budget + ESM trigger variants.
+
+Round-4 (VERDICT r3 task 5): accurate-tier SLAM costs 161 ms/frame vs
+odometry's 71 on the 500-frame fr1-difficulty set, attributed to
+frame-to-KEYFRAME solves firing the rotation fallback trigger (total
+baseline up to 0.15 rad) and paying the per-iteration XLA gather loop.
+Variants measured here, each through the full benchmark CLI
+(`apps.benchmark tum-fr1 -m slam`):
+
+- iteration budget cut (48 -> 24, justified by the odometry Pareto:
+  8.62 vs 8.55 mm, benchmarks/pareto.jsonl);
+- ESM gradients at the shift-stack levels with the relaxed
+  ``esm_fallback_max_rotation`` (the warp-evaluated Jacobian makes the
+  total-rotation trigger obsolete for warm-started keyframe solves) —
+  keeps the solves on the level-fused kernel.
+
+One JSON line per variant; appended to benchmarks/slampareto.jsonl.
+Run on the real TPU.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+BASE = json.loads((REPO / "configs" / "tpu_accurate_illum.json").read_text())
+
+VARIANTS = {
+    "accurate_illum_48": dict(BASE),
+    "accurate_illum_24": dict(BASE, max_iterations=24),
+    "esm_24": dict(
+        BASE, max_iterations=24,
+        use_esm_gradients=True, esm_levels=[0, 1, 2],
+        esm_fallback_max_rotation=0.25,
+    ),
+    "esm_48": dict(
+        BASE,
+        use_esm_gradients=True, esm_levels=[0, 1, 2],
+        esm_fallback_max_rotation=0.25,
+    ),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="+", default=list(VARIANTS))
+    ap.add_argument("--data", default=str(REPO / "out" / "fr1_synth_500"))
+    ap.add_argument("--out",
+                    default=str(REPO / "benchmarks" / "slampareto.jsonl"))
+    args = ap.parse_args()
+
+    import jax
+
+    from dense_visual_odometry_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax.default_backend())
+
+    import numpy as np
+
+    from dense_visual_odometry_tpu.apps import benchmark as bench_cli
+
+    out_path = Path(args.out)
+    for name in args.variants:
+        cfg_dict = VARIANTS[name]
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        ) as fh:
+            json.dump(cfg_dict, fh)
+            cfg_file = fh.name
+        t0 = time.perf_counter()
+        summary = bench_cli.run(bench_cli.parse_args(
+            ["tum-fr1", "-d", args.data, "-c", cfg_file, "-m", "slam"]
+        ))
+        rec = {
+            "variant": name,
+            "run_s": round(time.perf_counter() - t0, 1),
+            "ate_mm": round(summary["ate_rmse_m"] * 1e3, 3),
+            "rpe_trans_mm": round(summary["rpe_trans_rmse_m"] * 1e3, 4),
+            "rpe_rot_deg": round(
+                float(np.degrees(summary["rpe_rot_rmse_rad"])), 5
+            ),
+            "median_frame_ms": round(summary["median_frame_ms"], 1),
+            "mean_frame_ms": round(summary["mean_frame_ms"], 1),
+            "keyframes": summary.get("keyframes"),
+        }
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with out_path.open("a") as fh:
+            fh.write(line + "\n")
+    print("slam pareto done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,8 +191,10 @@ class RobustDVOConfig:
     # ``approximate_image2_gradient`` (precomputed Jacobian) and ignores
     # ``weighter.scale_subsample`` (the in-VMEM scale uses every valid
     # pixel); the scale runs ``weighter.unroll_iterations`` (default 3)
-    # unrolled steps.  Levels outside ``shift_stack_levels``, the motion
-    # prior, and depth residuals use the regular paths.
+    # unrolled steps.  Levels outside ``shift_stack_levels`` use the
+    # regular paths; the motion prior and depth residuals are added
+    # XLA-side around the kernel's photometric reduction (and ride
+    # fully in-kernel on the ``use_level_kernel`` path).
     use_fused_iteration: bool = False
     # Freeze the recentered shift window at each LEVEL's starting
     # estimate (fused path only).  Per-evaluation recentering re-extracts
@@ -228,9 +230,12 @@ class RobustDVOConfig:
     # per-iteration dispatch cost (measured ~3 thunks x ~0.9 ms on the
     # target transport, benchmarks/RESULTS.md) collapses to one kernel
     # launch per level.  Applies at fused levels when ``lm_lambda0``,
-    # ``use_fused_iteration`` and ``freeze_shift_window`` are set and no
-    # motion prior / depth residuals are configured; other levels and
-    # the hard-motion fallback branch keep the XLA loop.
+    # ``use_fused_iteration`` and ``freeze_shift_window`` are set; the
+    # motion prior, exposure-bias illumination AND the geometric depth
+    # term all ride the kernel (the depth term taps a second frozen
+    # window over the current depth map).  Other levels, the "affine"
+    # illumination mode and the hard-motion fallback branch keep the
+    # XLA loop.
     use_level_kernel: bool = False
     # Per-row-block recentering (level-kernel path only): split the grid
     # rows into this many blocks and give each its OWN integer window
@@ -274,6 +279,17 @@ class RobustDVOConfig:
     # level-start warped gradient is accurate; coarse levels start far
     # out, where it is not.
     esm_levels: Optional[Tuple[int, ...]] = None
+    # Rotation-trigger threshold override at ESM levels.  The rotation
+    # fallback exists because a TEMPLATE-gradient Jacobian stays biased
+    # under content rotation; ESM's Jacobian is (half) evaluated at the
+    # level-start WARP, so for warm-started solves carrying a large
+    # total rotation with small REMAINING motion (the SLAM
+    # frame-to-keyframe regime) the total-rotation magnitude wildly
+    # overstates the bias — firing the trigger pushes every keyframe
+    # solve off the level-fused kernel onto the per-iteration gather
+    # path (measured: that fallback IS the SLAM 161-vs-71 ms gap,
+    # benchmarks/RESULTS.md).  None keeps ``fallback_max_rotation``.
+    esm_fallback_max_rotation: Optional[float] = None
     # Beyond-reference: add geometric (depth) residuals to the photometric
     # objective: cost = sum w r_I^2 + depth_weight * sum huber(r_z)^2 with
     # r_z in meters.  Makes motion observable in low-texture scenes; the

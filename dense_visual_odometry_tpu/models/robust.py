@@ -407,9 +407,11 @@ def _solve_level(
         use_shift_stack
         and cfg.use_fused_iteration
         and cfg.approximate_image2_gradient
-        and not cfg.use_depth_residuals
         # "bias" rides the fused kernels (3 extra reduced scalars + a
-        # rank-1 Schur); "affine" falls back to the XLA loop.
+        # rank-1 Schur); "affine" falls back to the XLA loop.  Depth
+        # residuals ride the LEVEL kernel natively (a second frozen
+        # window over the current depth map); on the per-iteration
+        # fused path the depth term is added XLA-side in eval_mode.
         and cfg.illumination in (None, "bias")
     )
     use_esm = (
@@ -557,6 +559,24 @@ def _solve_level(
                 illum_bias=cfg.illumination == "bias",
                 frozen=frozen_win,
             )
+            if cfg.use_depth_residuals:
+                # Geometric term, XLA-side (the per-iteration fused
+                # kernel reduces photometry only; the LEVEL kernel has
+                # the depth term in-kernel).  Same ordering as the
+                # general path below: after photometric reduction,
+                # before the prior.
+                res_z, jac_z, valid_z = depth_residuals(
+                    depth_prev_m, depth_curr_m, intrinsics, estimate,
+                    grads_z[0], grads_z[1], grid_stride=stride,
+                )
+                w_z = huber_weights(
+                    res_z * res_z, valid_z, delta=cfg.depth_huber_delta
+                )
+                sys_z = normal_equations(res_z, jac_z, w_z, valid_z)
+                lam_z = jnp.float32(cfg.depth_weight)
+                hess = hess + lam_z * sys_z.hessian
+                rhs = rhs + lam_z * sys_z.rhs
+                err = err + lam_z * sys_z.error
             photometric_hess = hess
             if use_prior:
                 log_old = se3.log(prior_anchor)
@@ -706,7 +726,17 @@ def _solve_level(
             rot = estimate[..., :3, :3]
             cos_t = 0.5 * (jnp.trace(rot, axis1=-2, axis2=-1) - 1.0)
             theta = jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
-            hard = hard | (theta > cfg.fallback_max_rotation)
+            # At ESM levels the Jacobian is (half) evaluated at the
+            # level-start warp, so the total-rotation magnitude
+            # overstates the gradient-direction bias for warm-started
+            # solves; the optional relaxed threshold keeps the keyframe
+            # regime on the fused kernel (config.esm_fallback_max_rotation).
+            max_rot = (
+                cfg.esm_fallback_max_rotation
+                if use_esm and cfg.esm_fallback_max_rotation is not None
+                else cfg.fallback_max_rotation
+            )
+            hard = hard | (theta > max_rot)
         if cfg.approximate_image2_gradient and level == cfg.levels - 1:
             # Jacobian-validity trigger, COARSEST level only: recentering
             # hides pure translation, but a precomputed Jacobian is wrong
@@ -737,6 +767,7 @@ def _solve_level(
     rel_eff = cfg.relative_tolerance
     frozen_win = None
     frozen_win_blocks = None
+    frozen_depth_planes = None
     # Per-row-block recentering rides the level-fused kernel only: each
     # block of grid rows gets its own integer window center, shrinking
     # the displacement spread the shift ball must cover (ROADMAP item 1;
@@ -772,27 +803,35 @@ def _solve_level(
         )
         hp0, wp0 = u0.shape[-2], u0.shape[-1]
         nblk0 = cu0.shape[-1]
-        if batch_shape:
-            gflat = gray_curr.reshape((-1,) + gray_curr.shape[-2:])
-            planes0 = extract_parity_planes_blocks(
-                gflat,
-                jnp.broadcast_to(cu0, batch_shape + (nblk0,)).reshape(
-                    -1, nblk0
-                ),
-                jnp.broadcast_to(cv0, batch_shape + (nblk0,)).reshape(
-                    -1, nblk0
-                ),
-                hp0, wp0, radius0, stride, cfg.recenter_blocks,
-                radius_y=radius0_y,
-            )
-            planes0 = planes0.reshape(batch_shape + planes0.shape[1:])
-        else:
-            planes0 = extract_parity_planes_blocks(
-                gray_curr[None], cu0[None], cv0[None],
+
+        def _extract_blocks(img):
+            if batch_shape:
+                iflat = img.reshape((-1,) + img.shape[-2:])
+                pl0 = extract_parity_planes_blocks(
+                    iflat,
+                    jnp.broadcast_to(cu0, batch_shape + (nblk0,)).reshape(
+                        -1, nblk0
+                    ),
+                    jnp.broadcast_to(cv0, batch_shape + (nblk0,)).reshape(
+                        -1, nblk0
+                    ),
+                    hp0, wp0, radius0, stride, cfg.recenter_blocks,
+                    radius_y=radius0_y,
+                )
+                return pl0.reshape(batch_shape + pl0.shape[1:])
+            return extract_parity_planes_blocks(
+                img[None], cu0[None], cv0[None],
                 hp0, wp0, radius0, stride, cfg.recenter_blocks,
                 radius_y=radius0_y,
             )[0]
+
+        planes0 = _extract_blocks(gray_curr)
         frozen_win_blocks = (planes0, cu0, cv0)
+        if cfg.use_depth_residuals and depth_curr_m is not None:
+            # The CURRENT depth map rides the same frozen window (same
+            # integer centers, same displacement-ball assumptions) so
+            # the level kernel can tap-sample z_meas in-kernel.
+            frozen_depth_planes = _extract_blocks(depth_curr_m)
     elif use_fused and cfg.freeze_shift_window:
         # Window extraction (pad + dynamic-slice + parity split) depends
         # on the estimate only through the INTEGER recentering offsets,
@@ -811,21 +850,28 @@ def _solve_level(
         radius0 = cfg.shift_stack_radius
         cu0, cv0 = compute_recenter(u0, v0, radius0, stride, vg0)
         hp0, wp0 = u0.shape[-2], u0.shape[-1]
-        if batch_shape:
-            gflat = gray_curr.reshape((-1,) + gray_curr.shape[-2:])
-            planes0 = extract_parity_planes(
-                gflat,
-                jnp.broadcast_to(cu0, batch_shape).reshape(-1),
-                jnp.broadcast_to(cv0, batch_shape).reshape(-1),
-                hp0, wp0, radius0, stride,
-            )
-            planes0 = planes0.reshape(batch_shape + planes0.shape[1:])
-        else:
-            planes0 = extract_parity_planes(
-                gray_curr[None], cu0[None], cv0[None],
+
+        def _extract_plain(img):
+            if batch_shape:
+                iflat = img.reshape((-1,) + img.shape[-2:])
+                pl0 = extract_parity_planes(
+                    iflat,
+                    jnp.broadcast_to(cu0, batch_shape).reshape(-1),
+                    jnp.broadcast_to(cv0, batch_shape).reshape(-1),
+                    hp0, wp0, radius0, stride,
+                )
+                return pl0.reshape(batch_shape + pl0.shape[1:])
+            return extract_parity_planes(
+                img[None], cu0[None], cv0[None],
                 hp0, wp0, radius0, stride,
             )[0]
+
+        planes0 = _extract_plain(gray_curr)
         frozen_win = (planes0, cu0, cv0)
+        if cfg.use_depth_residuals and depth_curr_m is not None:
+            # Frozen window over the CURRENT depth map for the level
+            # kernel's in-kernel geometric term (same cu0/cv0 centers).
+            frozen_depth_planes = _extract_plain(depth_curr_m)
         if use_esm:
             # ESM (fused path): the warped current image at the level's
             # starting estimate falls out of the ALREADY-extracted frozen
@@ -915,6 +961,7 @@ def _solve_level(
         and use_fused
         and (frozen_win is not None or frozen_win_blocks is not None)
         and cfg.lm_lambda0 is not None
+        and (not cfg.use_depth_residuals or frozen_depth_planes is not None)
     )
     if cfg.lm_lambda0 is not None and use_level_kernel:
         from dense_visual_odometry_tpu.ops.pallas.level_solver import (
@@ -955,6 +1002,12 @@ def _solve_level(
                 sigma=cfg.sigma,
                 reference_prior_energy=cfg.reference_prior_energy,
                 illum_bias=cfg.illumination == "bias",
+                depth_planes=(
+                    frozen_depth_planes if cfg.use_depth_residuals else None
+                ),
+                zgrad=grads_z if cfg.use_depth_residuals else None,
+                depth_weight=cfg.depth_weight,
+                depth_huber_delta=cfg.depth_huber_delta,
                 radius_y=(
                     cfg.shift_stack_radius_y
                     if use_blocks and cfg.shift_stack_radius_y is not None

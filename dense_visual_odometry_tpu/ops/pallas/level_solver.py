@@ -21,8 +21,15 @@ Semantics: bit-compatible restatement of ``models/robust._lm_loop``
 with the ``fused`` evaluate mode (frozen window), INCLUDING the motion
 prior when ``sigma`` is set (H += (1/sigma) I, b += (1/sigma) log(old),
 per-iteration anchor re-anchoring — the in-kernel se3.log uses a Newton
-arcsin since ``atan2``/``acos`` do not lower, ``_se3_log_scalars``);
-depth-residual configs still fall back to the XLA loop.  The damped solve uses an unrolled
+arcsin since ``atan2``/``acos`` do not lower, ``_se3_log_scalars``) and
+the geometric depth-residual term when ``use_depth`` is set (a second
+frozen window over the CURRENT depth map shares the tent-tap sweep, the
+per-pixel depth Jacobian grad Z . J_w - [0,0,1,y',-x',0] is rebuilt from
+the transformed points each iteration, and the Huber-weighted normal
+equations fold into H/b/err exactly like models/robust.py's XLA
+ordering: after the illumination Schur, before the prior).  Only the
+"affine" illumination mode falls back to the XLA loop (measured neutral
+vs in-kernel "bias").  The damped solve uses an unrolled
 Cholesky instead of ``jnp.linalg.solve`` (measured equivalent to 2e-5
 relative).  Per-element loop exit replaces the batch-wide
 ``any(~done)`` condition — element results are identical because done
@@ -281,13 +288,21 @@ def _level_kernel(
     sigma: float | None = None,
     reference_prior_energy: bool = False,
     illum_bias: bool = False,
+    use_depth: bool = False,
+    depth_weight: float = 1.0,
+    depth_huber_delta: float = 0.03,
 ):
     fmax = float(jnp.finfo(jnp.float32).max)
     use_prior = sigma is not None
     inv_cov = 0.0 if sigma is None else 1.0 / sigma
 
-    def kernel(planes_ref, pts_ref, gray_ref, jac_ref, scal_ref,
-               out_ref, acc_ref):
+    def kernel(planes_ref, pts_ref, gray_ref, jac_ref, *rest):
+        if use_depth:
+            (zplanes_ref, zgrad_ref, scal_ref, out_ref,
+             acc_ref, accz_ref) = rest
+        else:
+            scal_ref, out_ref, acc_ref = rest
+            zplanes_ref = zgrad_ref = accz_ref = None
         bi = pl.program_id(0)
         ph = planes_ref.shape[-2]
         pw = planes_ref.shape[-1]
@@ -380,6 +395,8 @@ def _level_kernel(
             valid = ok_px.astype(jnp.float32)
 
             acc_ref[...] = jnp.zeros((hp, wp), jnp.float32)
+            if use_depth:
+                accz_ref[...] = jnp.zeros((hp, wp), jnp.float32)
             for ky in range(-radius_y, radius_y + 1):
                 a = radius_y + ky
                 pa = a % stride
@@ -389,6 +406,13 @@ def _level_kernel(
                     plane_idx = pa * stride + pb
                     row = pltpu.roll(
                         planes_ref[0, plane_idx], (ph - qa) % ph, axis=0
+                    )
+                    zrow = (
+                        pltpu.roll(
+                            zplanes_ref[0, plane_idx], (ph - qa) % ph, axis=0
+                        )
+                        if use_depth
+                        else None
                     )
                     for kx in range(-radius, radius + 1):
                         b = radius + kx
@@ -400,6 +424,17 @@ def _level_kernel(
                         )[:hp, :wp]
                         wx = jnp.maximum(0.0, 1.0 - jnp.abs(du - kx))
                         acc_ref[...] = acc_ref[...] + (wy * wx) * shifted
+                        if use_depth:
+                            # Same tent weights sample the CURRENT depth
+                            # window: the accumulation IS the bilinear
+                            # interpolation of depth_residuals' XLA path
+                            # wherever the displacement stays in-ball.
+                            zshifted = pltpu.roll(
+                                zrow, (pw - qb) % pw, axis=1
+                            )[:hp, :wp]
+                            accz_ref[...] = (
+                                accz_ref[...] + (wy * wx) * zshifted
+                            )
 
             res = jnp.where(valid > 0.0, acc_ref[...] - gray, 0.0)
             count = jnp.sum(valid)
@@ -448,6 +483,52 @@ def _level_kernel(
                     r + g6[i] * rho / s_safe for i, r in enumerate(rhs)
                 )
                 err = err - rho * rho / s_safe / count_safe
+            if use_depth:
+                # Geometric term (models/robust.py eval_mode ordering:
+                # after the illumination Schur, before the prior).
+                # r_z = Z2(w(p)) - [T X(p)]_z with the analytic Jacobian
+                # grad Z . J_w - [0, 0, 1, y', -x', 0] rebuilt from the
+                # transformed points each iteration
+                # (ops/residuals.depth_residuals semantics; sampling is
+                # ball-limited like the photometric window).
+                z_meas = accz_ref[...]
+                ok_z = ok_px & (z_meas > 0.0)
+                validz = ok_z.astype(jnp.float32)
+                r_z = jnp.where(ok_z, z_meas - zp, 0.0)
+                delta_h = jnp.float32(depth_huber_delta)
+                rabs = jnp.sqrt(jnp.maximum(r_z * r_z, 1e-20))
+                w_z = validz * jnp.where(
+                    rabs <= delta_h, 1.0, delta_h / rabs
+                )
+                z_safe2 = jnp.where(ok_z, zp, 1.0)
+                izz = 1.0 / z_safe2
+                izz2 = izz * izz
+                gzx = zgrad_ref[0, 0] * fx
+                gzy = zgrad_ref[0, 1] * fy
+                jz = (
+                    gzx * izz,
+                    gzy * izz,
+                    -(gzx * xp + gzy * yp) * izz2 - 1.0,
+                    -gzx * xp * yp * izz2
+                    - gzy * (1.0 + yp * yp * izz2) - yp,
+                    gzx * (1.0 + xp * xp * izz2)
+                    + gzy * xp * yp * izz2 + xp,
+                    -gzx * yp * izz + gzy * xp * izz,
+                )
+                jz = tuple(jnp.where(ok_z, c, 0.0) for c in jz)
+                jwz = [jz[i] * w_z for i in range(6)]
+                dw = jnp.float32(depth_weight)
+                pairs_z = [(i, j) for i in range(6) for j in range(i, 6)]
+                h21 = tuple(
+                    h + dw * jnp.sum(jwz[i] * jz[j])
+                    for (i, j), h in zip(pairs_z, h21)
+                )
+                rhs = tuple(
+                    r - dw * jnp.sum(jwz[i] * r_z)
+                    for i, r in enumerate(rhs)
+                )
+                count_z = jnp.maximum(jnp.sum(validz), 1.0)
+                err = err + dw * jnp.sum(w_z * r_z * r_z) / count_z
             if use_prior:
                 # Motion prior (eval_mode in models/robust.py:
                 # H += (1/sigma) I, b += (1/sigma) log(anchor), plus the
@@ -588,6 +669,7 @@ def _level_kernel(
         "lm_lambda0", "lm_up", "lm_down", "lm_lambda_max",
         "max_iterations", "interpret", "n_blocks", "block_rows", "halo",
         "grid_hp", "sigma", "reference_prior_energy", "illum_bias",
+        "depth_weight", "depth_huber_delta",
     ),
 )
 def lm_level_pallas(
@@ -619,6 +701,10 @@ def lm_level_pallas(
     sigma: float | None = None,
     reference_prior_energy: bool = False,
     illum_bias: bool = False,
+    depth_planes: jnp.ndarray | None = None,
+    zgrad_planes: jnp.ndarray | None = None,
+    depth_weight: float = 1.0,
+    depth_huber_delta: float = 0.03,
 ) -> jnp.ndarray:
     """Run the level-fused LM solver over a (B,)-grid.
 
@@ -628,12 +714,16 @@ def lm_level_pallas(
     f32 per-element scalar row (layout at ``_IN_COLS``).  With
     ``n_blocks > 1`` every per-pixel input is in block-slab layout
     (``ops.pallas.stackwarp.slab_stack``) and ``grid_hp`` is the true
-    grid row count. -> (B, _OUT_COLS) f32 rows (layout at ``_OUT_COLS``).
+    grid row count.  ``depth_planes`` (B, s^2, ph, pw) frozen windows
+    over the CURRENT depth map + ``zgrad_planes`` (B, 2, H', W')
+    previous-depth Sobel gradients enable the geometric depth-residual
+    term. -> (B, _OUT_COLS) f32 rows (layout at ``_OUT_COLS``).
     """
     if radius_y is None:
         radius_y = radius
     b, _, ph, pw = planes.shape
     hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
+    use_depth = depth_planes is not None
     kernel = _level_kernel(
         radius, radius_y, hp, wp, grid_stride, image_h, image_w, dof,
         unroll, use_tweights, normalize_scale, tolerance, lm_up, lm_down,
@@ -642,39 +732,58 @@ def lm_level_pallas(
         grid_hp=grid_hp, sigma=sigma,
         reference_prior_energy=reference_prior_energy,
         illum_bias=illum_bias,
+        use_depth=use_depth, depth_weight=depth_weight,
+        depth_huber_delta=depth_huber_delta,
     )
     in_cols = scal.shape[-1]
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
     img_spec = lambda: pl.BlockSpec(  # noqa: E731
         (1, hp, wp), grid_plane, memory_space=pltpu.VMEM
     )
+    win_spec = pl.BlockSpec(
+        (1, grid_stride * grid_stride, ph, pw),
+        lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        win_spec,
+        pl.BlockSpec(
+            (1, 3, hp, wp), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        img_spec(),
+        pl.BlockSpec(
+            (1, 6, hp, wp), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [planes, points, gray_prev, jac_planes]
+    if use_depth:
+        in_specs.append(win_spec)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 2, hp, wp), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(depth_planes.astype(jnp.float32))
+        operands.append(zgrad_planes.astype(jnp.float32))
+    in_specs.append(
+        pl.BlockSpec((b, in_cols), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    )
+    operands.append(scal)
+    scratch = [pltpu.VMEM((hp, wp), jnp.float32)]
+    if use_depth:
+        scratch.append(pltpu.VMEM((hp, wp), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, grid_stride * grid_stride, ph, pw),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 3, hp, wp), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            img_spec(),
-            pl.BlockSpec(
-                (1, 6, hp, wp), lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (b, in_cols), lambda i: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (b, _OUT_COLS), lambda i: (0, 0), memory_space=pltpu.SMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, _OUT_COLS), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.float32)],
+        scratch_shapes=scratch,
         # The solver keeps many full-plane f32 temporaries live across
         # the while_loop (weights, residual, 6 weighted-Jacobian planes,
         # tap temporaries): the scoped stack measured ~18 MB at the
@@ -687,7 +796,7 @@ def lm_level_pallas(
             else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
         ),
         interpret=interpret,
-    )(planes, points, gray_prev, jac_planes, scal)
+    )(*operands)
 
 
 def solve_level_fused(
@@ -722,6 +831,10 @@ def solve_level_fused(
     sigma: float | None = None,
     reference_prior_energy: bool = False,
     illum_bias: bool = False,
+    depth_planes: jnp.ndarray | None = None,
+    zgrad: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    depth_weight: float = 1.0,
+    depth_huber_delta: float = 0.03,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Batch-shaped wrapper: one level solved end-to-end on-chip.
@@ -733,7 +846,11 @@ def solve_level_fused(
     the per-pixel template tensors stay on the PLAIN grid (slab-ified
     here); intrinsics (..., 3, 3) or (3, 3); estimate0/anchor0
     (..., 4, 4); wlam0 (...,); rel (...,) runtime relative tolerance or
-    None.  Returns (est, anchor, wlam, err, count, iterations_max).
+    None.  ``depth_planes`` (..., s^2, ph, pw) frozen windows over the
+    CURRENT depth map (same cu/cv/layout as ``planes``) + ``zgrad``
+    (gzx, gzy) previous-depth gradients on the strided grid enable the
+    geometric depth term.  Returns (est, anchor, wlam, err, count,
+    iterations_max).
     """
     if jax.default_backend() != "tpu":
         interpret = True
@@ -760,6 +877,11 @@ def solve_level_fused(
         jac_planes = slab_stack(
             jac_planes, grid_hp, n_blocks, radius_y, grid_stride
         )
+        if zgrad is not None:
+            zgrad = tuple(
+                slab_stack(g, grid_hp, n_blocks, radius_y, grid_stride)
+                for g in zgrad
+            )
         # Grid rows of each slab row (halo rows duplicate the next
         # block's rows; rows past the grid are masked in-kernel).
         import numpy as _np
@@ -781,6 +903,17 @@ def solve_level_fused(
     depth_f = flat(depth_prev_m)
     planes_f = flat(planes)
     jac_f = flat(jac_planes.astype(jnp.float32))
+    zplanes_f = None if depth_planes is None else flat(depth_planes)
+    zgrad_f = (
+        None
+        if zgrad is None
+        else flat(
+            jnp.stack(
+                [zgrad[0].astype(jnp.float32), zgrad[1].astype(jnp.float32)],
+                axis=len(batch_shape),
+            )
+        )
+    )
     est_f = flat(jnp.broadcast_to(estimate0, batch_shape + (4, 4)))
     anc_f = flat(jnp.broadcast_to(anchor0, batch_shape + (4, 4)))
     b = gray_f.shape[0]
@@ -859,6 +992,8 @@ def solve_level_fused(
         n_blocks=nblk, block_rows=t_rows, halo=halo, grid_hp=grid_hp,
         sigma=sigma, reference_prior_energy=reference_prior_energy,
         illum_bias=illum_bias,
+        depth_planes=zplanes_f, zgrad_planes=zgrad_f,
+        depth_weight=depth_weight, depth_huber_delta=depth_huber_delta,
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)

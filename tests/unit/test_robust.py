@@ -461,6 +461,69 @@ class TestSyntheticConvergence:
             > 1e-3
         )
 
+    def test_level_kernel_matches_lm_loop_with_depth_residuals(self):
+        """Depth-residual configs ride the level kernel (round-4): the
+        in-kernel geometric term — a second frozen window over the
+        CURRENT depth map tap-sampled alongside gray, the per-pixel
+        Jacobian grad Z . J_w - [0,0,1,y',-x',0] rebuilt from the
+        transformed points each iteration, Huber weights — must
+        reproduce the XLA loop (which samples depth with a full
+        bilinear; identical while displacements stay in the frozen
+        ball, as at these motions)."""
+        from dense_visual_odometry_tpu.io.synthetic import render_view
+
+        rng = np.random.default_rng(3)
+        v, u = np.meshgrid(
+            np.arange(H, dtype=np.float64),
+            np.arange(W, dtype=np.float64), indexing="ij",
+        )
+        gray1 = _texture(u, v).astype(np.float32)
+        # Bumpy depth: the geometric term is informative (a flat wall
+        # under in-plane translation has r_z == 0 throughout and the
+        # test would pass vacuously).
+        depth1 = (
+            Z0
+            + 0.25 * np.sin(2 * np.pi * u / 40.0)
+            * np.cos(2 * np.pi * v / 32.0)
+        ).astype(np.float32)
+        xi = np.array([0.004, -0.002, 0.006, 0.0, 0.0, 0.004], np.float64)
+        t_true = np.asarray(se3.exp(jnp.asarray(xi, jnp.float32)))
+        gray2, depth2 = render_view(gray1, depth1, K, t_true)
+        del rng
+        prev = _frame_data(gray1, depth1, 3)
+        curr = FrameData(
+            gray=pyr_ops.build_pyramid(jnp.asarray(gray2), 3),
+            depth_m=pyr_ops.build_pyramid(jnp.asarray(depth2), 3),
+        )
+        camera = CameraModel.create(K, 1.0)
+        results = {}
+        for lk in (False, True):
+            cfg = self._fused_lm_cfg(
+                use_level_kernel=lk, use_depth_residuals=True,
+                max_iterations=20,
+            )
+            r = track_pair(prev, curr, camera, cfg)
+            assert bool(r.success)
+            results[lk] = np.asarray(r.transform)
+        np.testing.assert_allclose(results[True], results[False], atol=1e-5)
+        got = np.asarray(se3.log(jnp.asarray(results[True])))
+        np.testing.assert_allclose(got, xi, atol=2e-3)
+        # Liveness: the depth term must actually bind (a wrong-weight
+        # no-op kernel would still pass the parity check above).
+        cfg_heavy = self._fused_lm_cfg(
+            use_level_kernel=True, use_depth_residuals=True,
+            max_iterations=20, depth_weight=1e7, depth_huber_delta=1e4,
+        )
+        cfg_off = self._fused_lm_cfg(
+            use_level_kernel=True, max_iterations=20
+        )
+        r_heavy = track_pair(prev, curr, camera, cfg_heavy)
+        r_off = track_pair(prev, curr, camera, cfg_off)
+        diff = np.abs(
+            np.asarray(r_heavy.transform) - np.asarray(r_off.transform)
+        ).max()
+        assert diff > 1e-6
+
     def test_se3_log_scalars_matches_library(self):
         """The kernel's Newton-arcsin se3.log is f32-exact against
         utils.lie.se3.log across the documented domain."""
