@@ -43,7 +43,33 @@ VARIANTS = {
         use_esm_gradients=True, esm_levels=[0, 1, 2],
         esm_fallback_max_rotation=0.25,
     ),
+    # Is the rotation-trigger fallback (keyframe baselines > 0.03 rad)
+    # the SLAM latency driver?  Raise the trigger WITHOUT ESM: the IC
+    # Jacobian bias under rotation is real, but frame-to-keyframe ATE
+    # tells whether BA absorbs it.
+    "rot_trigger_24": dict(
+        BASE, max_iterations=24, fallback_max_rotation=0.25,
+    ),
+    # Cap the COARSEST level (the one level off the fused kernel, whose
+    # XLA while_loop pays ~2.7 ms device scheduling per iteration): its
+    # output only seeds level 2.
+    "coarse_cap_24": dict(
+        BASE, max_iterations=24, max_iterations_per_level=[24, 24, 24, 6],
+    ),
+    "coarse_cap_full": dict(
+        BASE, max_iterations_per_level=[48, 48, 48, 6],
+    ),
+    # Fast stopping + free in-kernel illum: the round-3 fast-SLAM point
+    # (104.6 ms @ 0.69 mm) with exposure compensation.
+    "fast_illum": None,
 }
+import json as _json
+from pathlib import Path as _P
+_fast = _json.loads((REPO / "configs" / "tpu_fast.json").read_text())
+VARIANTS["fast_illum"] = dict(_fast, illumination="bias")
+VARIANTS["fast_illum_cap"] = dict(
+    _fast, illumination="bias", max_iterations_per_level=[12, 12, 12, 6]
+)
 
 
 def main():

@@ -41,8 +41,16 @@ def parse_args(argv=None):
     p.add_argument("--camera", type=str, default=None, help="camera YAML (tum)")
     p.add_argument("-o", "--output", type=str, required=True,
                    help="mesh path (.ply, or .obj for Wavefront OBJ)")
-    p.add_argument("-m", "--method", choices=["robust-dvo", "slam"],
-                   default="robust-dvo")
+    p.add_argument("-m", "--method",
+                   choices=["robust-dvo", "slam", "track-model"],
+                   default="robust-dvo",
+                   help="track-model = frame-to-model tracking against "
+                        "the live TSDF (raycast virtual keyframes)")
+    p.add_argument("--track-volume-extent", type=float, default=8.0,
+                   help="track-model: tracking-volume cube side (m), "
+                        "centred on the first frame's observed surface")
+    p.add_argument("--track-resolution", type=int, default=192,
+                   help="track-model: tracking-volume voxels per axis")
     p.add_argument("--trajectory", type=str, default=None,
                    help="report JSON or TUM txt with poses (skips tracking)")
     p.add_argument("--size", type=int, default=None, help="frame limit")
@@ -84,8 +92,35 @@ def _load_trajectory_poses(path: Path, n_frames: int) -> np.ndarray:
     return poses[:n_frames]
 
 
-def _track_poses(seq, cfg, method: str) -> np.ndarray:
+def _track_poses(seq, cfg, method: str, args=None) -> np.ndarray:
     import jax.numpy as jnp
+
+    if method == "track-model":
+        from dense_visual_odometry_tpu.models.frame_to_model import (
+            FrameToModelTracker,
+        )
+        from dense_visual_odometry_tpu.models.tsdf import TSDFConfig
+
+        # Tracking volume centred on the first frame's observed median
+        # surface point (the map grows into it as the camera moves).
+        rgb0, depth0 = seq.frame(0)
+        d0 = np.asarray(depth0, np.float64) * seq.camera.depth_scale
+        z_med = float(np.median(d0[d0 > 0])) if np.any(d0 > 0) else 2.0
+        extent = args.track_volume_extent if args else 8.0
+        res = args.track_resolution if args else 192
+        center = (0.0, 0.0, z_med)
+        tcfg = TSDFConfig.around(
+            center, extent, resolution=res,
+            truncation=4.0 * extent / res,
+        )
+        tracker = FrameToModelTracker(seq.camera, cfg, tcfg)
+        for rgb, depth in seq.prefetched():
+            tracker.step(rgb, depth)
+        logger.info(
+            "track-model: %d virtual-keyframe renders, %d failed solves",
+            tracker.renders, tracker.failures,
+        )
+        return tracker.trajectory()
 
     if method == "slam":
         from dense_visual_odometry_tpu.models.slam import SlamSession
@@ -161,7 +196,7 @@ def main(argv=None) -> int:
         logger.info("loaded %d poses from %s", len(poses), args.trajectory)
     else:
         t0 = time.perf_counter()
-        poses = _track_poses(seq, cfg, args.method)
+        poses = _track_poses(seq, cfg, args.method, args)
         logger.info(
             "tracked %d frames with %s in %.1f s",
             len(poses), args.method, time.perf_counter() - t0,

@@ -68,6 +68,17 @@ class RobustDVOConfig:
     sigma: Optional[float] = None  # motion-prior strength (None = no prior)
     tolerance: float = 1e-6
     max_iterations: int = 100
+    # Per-level iteration caps, indexed by pyramid level (0 = finest);
+    # None = ``max_iterations`` everywhere.  Motivation is the COARSEST
+    # level under warm-started large-baseline solves (SLAM
+    # frame-to-keyframe): levels on the level-fused Pallas kernel run
+    # iterations in microseconds, but a non-shift-stack level runs the
+    # XLA while_loop whose per-iteration device-side scheduling costs
+    # ~0.9 ms x ~3 thunks on the serving target — and the coarsest
+    # level's output only seeds the next level, so millimeter-grade
+    # convergence there is wasted work (measured, benchmarks/RESULTS.md
+    # SLAM latency ladder).
+    max_iterations_per_level: Optional[Tuple[int, ...]] = None
     # Additional relative stopping rule: |err - err_prev| < rel * err.
     # The reference's absolute tolerance (1e-6 on errors of O(100))
     # effectively runs GN until float noise; a relative rule stops when
@@ -335,11 +346,29 @@ class RobustDVOConfig:
             return self.grid_strides[level]
         return self.finest_stride if level == 0 else 1
 
+    def max_iterations_for_level(self, level: int) -> int:
+        if self.max_iterations_per_level is not None:
+            return self.max_iterations_per_level[level]
+        return self.max_iterations
+
     def __post_init__(self):
         if self.levels < 1:
             raise ValueError(f"levels must be >= 1, got {self.levels}")
         if self.max_iterations < 1:
             raise ValueError("max_iterations must be >= 1")
+        if self.max_iterations_per_level is not None:
+            object.__setattr__(
+                self, "max_iterations_per_level",
+                tuple(int(n) for n in self.max_iterations_per_level),
+            )
+            if len(self.max_iterations_per_level) != self.levels:
+                raise ValueError(
+                    "max_iterations_per_level length must equal levels"
+                )
+            if any(n < 1 for n in self.max_iterations_per_level):
+                raise ValueError(
+                    "max_iterations_per_level entries must be >= 1"
+                )
         if self.sigma is not None and self.sigma <= 0:
             raise ValueError("sigma must be positive or None")
         if self.finest_stride < 1:

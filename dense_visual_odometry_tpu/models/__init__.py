@@ -19,6 +19,9 @@ from dense_visual_odometry_tpu.models.slam import (  # noqa: F401
     KeyframePolicy,
     SlamSession,
 )
+from dense_visual_odometry_tpu.models.batched_slam import (  # noqa: F401
+    BatchedSlamSession,
+)
 from dense_visual_odometry_tpu.models.dense_ba import (  # noqa: F401
     DenseBAConfig,
     DenseBAData,
@@ -34,6 +37,7 @@ from dense_visual_odometry_tpu.models.tsdf import (  # noqa: F401
     integrate,
     integrate_frames,
     make_volume,
+    raycast_view,
     save_mesh_obj,
     save_mesh_ply,
 )

@@ -252,7 +252,10 @@ def _affine_schur(sys, residuals, jacobian, weights, template_c):
     return sys._replace(hessian=hess, rhs=rhs, error=error)
 
 
-def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None):
+def _lm_loop(
+    evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None,
+    max_iterations=None,
+):
     """Levenberg-Marquardt trust-region iteration (``cfg.lm_lambda0`` set).
 
     Differences vs the reference/GN loop (deliberate, documented in
@@ -271,9 +274,10 @@ def _lm_loop(evaluate, estimate0, prior_anchor0, cfg, batch_shape, rel_eff=None)
     """
     eye6 = jnp.eye(6, dtype=jnp.float32)
     rel = cfg.relative_tolerance if rel_eff is None else rel_eff
+    max_iter = cfg.max_iterations if max_iterations is None else max_iterations
 
     def cond(c: _LMCarry):
-        return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
+        return jnp.logical_and(jnp.any(~c.done), c.it < max_iter)
 
     def body(c: _LMCarry) -> _LMCarry:
         hess, rhs, err, count, _photo, wlam = evaluate(
@@ -997,7 +1001,7 @@ def _solve_level(
                 lm_up=cfg.lm_up,
                 lm_down=cfg.lm_down,
                 lm_lambda_max=cfg.lm_lambda_max,
-                max_iterations=cfg.max_iterations,
+                max_iterations=cfg.max_iterations_for_level(level),
                 n_blocks=cfg.recenter_blocks if use_blocks else 1,
                 sigma=cfg.sigma,
                 reference_prior_energy=cfg.reference_prior_energy,
@@ -1034,7 +1038,8 @@ def _solve_level(
                 )
 
             return _lm_loop(
-                ev, est_in, anc_in, cfg, batch_shape, rel_eff=rel_eff
+                ev, est_in, anc_in, cfg, batch_shape, rel_eff=rel_eff,
+                max_iterations=cfg.max_iterations_for_level(level),
             )
 
         if use_fallback:
@@ -1067,6 +1072,7 @@ def _solve_level(
         final_est, final_anchor, final_wlam, diag = _lm_loop(
             evaluate_hoisted, estimate0, prior_anchor0, cfg, batch_shape,
             rel_eff=rel_eff,
+            max_iterations=cfg.max_iterations_for_level(level),
         )
         if want_hessian:
             hess = evaluate_hoisted(final_est, final_anchor, final_wlam)[4]
@@ -1075,7 +1081,9 @@ def _solve_level(
         return final_est, diag, hess
 
     def cond(c: _GNCarry):
-        return jnp.logical_and(jnp.any(~c.done), c.it < cfg.max_iterations)
+        return jnp.logical_and(
+            jnp.any(~c.done), c.it < cfg.max_iterations_for_level(level)
+        )
 
     def body(c: _GNCarry) -> _GNCarry:
         hess, rhs, err, count, photo_hess, lam = evaluate_hoisted(

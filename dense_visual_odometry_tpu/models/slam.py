@@ -402,13 +402,7 @@ class SlamSession:
                 self._intrinsics,
                 np.float32(self.camera.depth_scale), self.config,
             )
-            pose = np.eye(4)
-            self._promote(fd, pose, None)
-            self.frame_poses.append(pose)
-            self._frame_kf.append(0)
-            self._frame_rel.append(np.eye(4))
-            self._frame_idx += 1
-            return Pose.from_matrix(pose)
+            return self._first_frame(fd)
 
         # Track current frame against the keyframe; init from the composed
         # motion so far plus the last inter-frame increment (constant
@@ -417,15 +411,49 @@ class SlamSession:
         # each their own synchronous round trip on the relay transport
         # (measured 2x the cost, RESULTS.md latency attribution); as jit
         # arguments the uploads ride the single dispatch.
-        init = (self._last_inc @ np.linalg.inv(self._rel_to_kf)).astype(np.float32)
         fd, result, pack_d = _fused_step(
             self._keyframe, np.ascontiguousarray(image),
             np.ascontiguousarray(depth),
             self._intrinsics, np.float32(self.camera.depth_scale),
-            init, self.config,
+            self.init_guess(), self.config,
         )
         self.last_result = result
         pack = np.asarray(pack_d, np.float64)  # the ONE host sync per frame
+        return self.apply_step(lambda: fd, pack)
+
+    def _first_frame(self, fd: FrameData) -> Pose:
+        """Anchor the session at its first frame (keyframe 0, identity)."""
+        pose = np.eye(4)
+        self._promote(fd, pose, None)
+        self.frame_poses.append(pose)
+        self._frame_kf.append(0)
+        self._frame_rel.append(np.eye(4))
+        self._frame_idx += 1
+        return Pose.from_matrix(pose)
+
+    def init_guess(self) -> np.ndarray:
+        """Constant-velocity warm start for the next frame-to-keyframe
+        solve (in the keyframe's frame)."""
+        return (
+            self._last_inc @ np.linalg.inv(self._rel_to_kf)
+        ).astype(np.float32)
+
+    def apply_step(self, fd_thunk, pack: np.ndarray) -> Pose:
+        """Host-side policy half of :meth:`step`.
+
+        ``fd_thunk`` lazily yields the frame's device ``FrameData`` —
+        only materialized on promotion / relocalization, so batched
+        callers (``BatchedSlamSession``) pay a per-stream device slice
+        only on those rare events; ``pack`` is the ``_PK_*`` scalar
+        vector already on host.
+        """
+        fd_cache = []
+
+        def fd():
+            if not fd_cache:
+                fd_cache.append(fd_thunk())
+            return fd_cache[0]
+
         success = pack[_PK_SUCCESS] > 0.5
         transform = pack[_PK_TRANSFORM].reshape(4, 4)
         if success and self.policy.track_max_error is not None:
@@ -444,7 +472,7 @@ class SlamSession:
             if (
                 self.policy.relocalize
                 and self._lost_count > self.policy.relocalize_after
-                and self._relocalize(fd)
+                and self._relocalize(fd())
             ):
                 self._lost_count = 0
         world = self.keyframe_poses[self._active_kf] @ self._rel_to_kf
@@ -460,7 +488,7 @@ class SlamSession:
                 info = np.eye(6)
             meas = self._rel_to_kf  # X_prev_kf^-1 @ X_new_kf
             self._promote(
-                fd, world, (meas.copy(), info),
+                fd(), world, (meas.copy(), info),
                 desc=pack[_PK_DESC].astype(np.float32),
                 valid_count=float(pack[_PK_VALID]),
             )

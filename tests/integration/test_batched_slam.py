@@ -1,0 +1,130 @@
+"""Multi-stream SLAM serving: B sessions through one batched program.
+
+Per-stream results must match the single-stream ``SlamSession`` on the
+same frames (the batched solver is element-independent; the only
+batch-global coupling is the hard-motion fallback predicate, which these
+easy sequences never fire)."""
+
+import numpy as np
+import pytest
+
+from dense_visual_odometry_tpu.camera import CameraModel
+from dense_visual_odometry_tpu.config import RobustDVOConfig, TWeighterConfig
+from dense_visual_odometry_tpu.io.synthetic import render_view
+from dense_visual_odometry_tpu.models.batched_slam import BatchedSlamSession
+from dense_visual_odometry_tpu.models.slam import KeyframePolicy, SlamSession
+from dense_visual_odometry_tpu.utils.lie import se3
+
+H, W = 96, 128
+K = np.array(
+    [[110.0, 0.0, (W - 1) / 2], [0.0, 110.0, (H - 1) / 2], [0.0, 0.0, 1.0]],
+    dtype=np.float32,
+)
+
+
+def _sequence(seed: int, n: int = 7):
+    """Small-motion rendered RGB-D sequence with known world poses."""
+    rng = np.random.default_rng(seed)
+    v, u = np.meshgrid(
+        np.arange(H, dtype=np.float64), np.arange(W, dtype=np.float64),
+        indexing="ij",
+    )
+    gray = (
+        120.0
+        + 50.0 * np.sin(2 * np.pi * u / (29.0 + seed))
+        + 40.0 * np.cos(2 * np.pi * v / 23.0)
+        + 25.0 * np.sin(2 * np.pi * (u + 2 * v) / 57.0)
+    ).astype(np.float32)
+    depth = (
+        2.0 + 0.2 * np.sin(2 * np.pi * u / 45.0) * np.cos(2 * np.pi * v / 37.0)
+    ).astype(np.float32)
+    frames, pose = [], np.eye(4)
+    for i in range(n):
+        if i == 0:
+            g, d = gray, depth
+        else:
+            # Random wiggle on top of a consistent forward drift, so the
+            # composed keyframe baseline grows and promotion triggers.
+            xi = rng.uniform(-1.0, 1.0, 6) * np.array(
+                [2e-3, 2e-3, 3e-3, 1e-3, 1e-3, 1.5e-3]
+            ) + np.array([2.5e-3, 0.0, 3e-3, 0.0, 0.0, 1e-3])
+            pose = pose @ np.asarray(se3.exp(np.asarray(xi, np.float32)))
+            # render_view wants src-cam -> target-cam = world pose inverse
+            g, d = render_view(gray, depth, K, np.linalg.inv(pose))
+        rgb = np.repeat(g[..., None], 3, axis=-1).astype(np.uint8)
+        frames.append((rgb, (d * 5000.0).astype(np.uint16)))
+    return frames
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return RobustDVOConfig(
+        levels=3, max_iterations=16, use_weighter=True,
+        packed_sampling=True, grid_strides=(2, 1, 1),
+        weighter=TWeighterConfig(scale_subsample=4),
+        shift_stack_radius=3, shift_stack_levels=(0, 1),
+        approximate_image2_gradient=True,
+        relative_tolerance=1e-2, lm_lambda0=1e-4,
+        use_pallas_stack=True, use_fused_iteration=True,
+        freeze_shift_window=True, use_level_kernel=True,
+        max_distance=10.0,
+    )
+
+
+def test_matches_single_stream(cfg):
+    camera = CameraModel.create(K, 1.0 / 5000.0)
+    policy = KeyframePolicy(
+        max_translation=0.012, max_rotation=0.01, window=4,
+        loop_closure=False,
+    )
+    seqs = [_sequence(0), _sequence(5)]
+
+    batched = BatchedSlamSession(camera, cfg, n_streams=2, policy=policy)
+    for i in range(len(seqs[0])):
+        batched.step(
+            [seqs[0][i][0], seqs[1][i][0]], [seqs[0][i][1], seqs[1][i][1]]
+        )
+
+    for b, seq in enumerate(seqs):
+        single = SlamSession(camera, cfg, policy=policy)
+        for rgb, depth in seq:
+            single.step(rgb, depth)
+        assert (
+            batched.sessions[b].num_keyframes == single.num_keyframes
+        ), f"stream {b}: keyframe policy diverged"
+        np.testing.assert_allclose(
+            np.stack(batched.sessions[b].frame_poses),
+            np.stack(single.frame_poses),
+            atol=1e-5,
+            err_msg=f"stream {b} trajectory diverged from single-stream",
+        )
+    # The streams saw different sequences -> different trajectories.
+    assert not np.allclose(
+        np.stack(batched.sessions[0].frame_poses),
+        np.stack(batched.sessions[1].frame_poses),
+        atol=1e-5,
+    )
+    # Streams must actually track (non-identity motion recovered).
+    assert batched.sessions[0].num_keyframes >= 2
+
+
+def test_promotion_updates_batched_keyframe_state(cfg):
+    """After a stream promotes, subsequent tracking must run against the
+    NEW keyframe (a stale stacked tree would drift within a few frames)."""
+    camera = CameraModel.create(K, 1.0 / 5000.0)
+    policy = KeyframePolicy(
+        max_translation=0.008, max_rotation=0.008, window=4,
+        loop_closure=False,
+    )
+    seq = _sequence(2, n=7)
+    batched = BatchedSlamSession(camera, cfg, n_streams=2, policy=policy)
+    for rgb, depth in seq:
+        batched.step([rgb, rgb], [depth, depth])
+    sess = batched.sessions[0]
+    assert sess.num_keyframes >= 2
+    # Identical streams must stay in lockstep (same state updates).
+    np.testing.assert_allclose(
+        np.stack(batched.sessions[0].frame_poses),
+        np.stack(batched.sessions[1].frame_poses),
+        atol=1e-6,
+    )

@@ -37,16 +37,32 @@ from tests.reference_oracle.refbridge import (
     reference_available,
 )
 
-CASES = {name: (down, n, cfg) for name, down, n, cfg in mg.CASES}
+CASES = {
+    name: (down, n, cfg, source) for name, down, n, cfg, source in mg.CASES
+}
 
-# (translation m, rotation rad, iteration counts must match exactly)
+# (translation m, rotation rad, allowed per-level iteration-count slack)
 BOUNDS = {
-    "approx_noweight": (3e-5, 1.5e-5, True),
-    "approx_tweight": (3e-5, 1.5e-5, True),
-    "approx_prior": (3e-5, 1.5e-5, True),
-    "approx_divergence_allowed": (3e-5, 1.5e-5, True),
+    "approx_noweight": (3e-5, 1.5e-5, 0),
+    "approx_tweight": (3e-5, 1.5e-5, 0),
+    "approx_prior": (3e-5, 1.5e-5, 0),
+    "approx_divergence_allowed": (3e-5, 1.5e-5, 0),
     # Documented quirk gap (J_w evaluation point); see module docstring.
-    "exact_noweight": (1e-3, 5e-4, True),
+    "exact_noweight": (1e-3, 5e-4, 0),
+    # Rotation-heavy / large-translation regime (round 4): ~2.5 deg +
+    # ~25 mm per pair, several px at the coarsest level.  Decisions
+    # still match EXACTLY; the transform bound is wider because the
+    # solves run 2-3x more iterations, compounding f32-vs-f64 rounding.
+    "hard_rotation": (3e-4, 1.5e-4, 0),
+    # Exposure-violated brightness constancy (round 4): residuals
+    # plateau at err ~ 100 intensity^2, where the reference's ABSOLUTE
+    # 1e-6 tolerance is a 1e-8 RELATIVE test — below f32 resolution
+    # (the f32 error quantum at err=96 is ~7.6e-6).  Stopping in this
+    # regime is therefore quantization-limited by design: one level of
+    # one pair stops one iteration apart (measured 19 vs 20), every
+    # other decision identical, transforms within 36 um on 9-36 mm
+    # motions.  The +-1 slack encodes exactly that.
+    "exposure_wobble": (3e-4, 1.5e-4, 1),
 }
 
 _OURS_CACHE = {}
@@ -54,24 +70,24 @@ _OURS_CACHE = {}
 
 def _run_ours(name):
     if name not in _OURS_CACHE:
-        down, n_frames, cfg = CASES[name]
-        _OURS_CACHE[name] = mg.run_ours_case(cfg, down, n_frames)
+        down, n_frames, cfg, source = CASES[name]
+        _OURS_CACHE[name] = mg.run_ours_case(cfg, down, n_frames, source)
     return _OURS_CACHE[name]
 
 
 def _assert_close(rows, name):
-    d_t, d_r, iters_equal = BOUNDS[name]
+    d_t, d_r, iter_slack = BOUNDS[name]
     for r in rows:
         assert r["d_trans_m"] < d_t, (name, r)
         assert r["d_rot_rad"] < d_r, (name, r)
-        if iters_equal:
-            ref_counts = {int(k): v for k, v in r["ref_iters"].items()}
-            # Our diagnostics stack coarse-to-fine: index 0 = coarsest.
-            levels = sorted(ref_counts, reverse=True)
-            assert [ref_counts[lv] for lv in levels] == r["our_iters"], (
-                name,
-                r,
-            )
+        ref_counts = {int(k): v for k, v in r["ref_iters"].items()}
+        # Our diagnostics stack coarse-to-fine: index 0 = coarsest.
+        levels = sorted(ref_counts, reverse=True)
+        got = r["our_iters"]
+        want = [ref_counts[lv] for lv in levels]
+        assert len(got) == len(want) and all(
+            abs(g - w) <= iter_slack for g, w in zip(got, want)
+        ), (name, r, want, got)
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
@@ -87,6 +103,37 @@ def test_matches_committed_goldens(name):
     _assert_close(rows, name)
 
 
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_composed_final_pose_matches_goldens(name):
+    """Multi-frame check: COMPOSING the per-pair estimates (the
+    session's final_pose semantics, base_dense_visual_odometry.py
+    pose accumulation) stays within the per-pair bound times the chain
+    length — catches any error mode that per-pair comparison hides
+    through sign/inverse conventions."""
+    import jax.numpy as jnp
+
+    from dense_visual_odometry_tpu.utils.lie import se3
+
+    goldens = json.loads(mg.GOLDENS_PATH.read_text())[name]
+    ref_t = np.asarray(goldens["transforms"], np.float64)
+    ours_t = _run_ours(name)["transforms"]
+    pose_ref = np.eye(4)
+    pose_ours = np.eye(4)
+    for k in range(ref_t.shape[0]):
+        # step() composes pose <- pose @ inv(transform) (transform maps
+        # prev-cam points to curr-cam).
+        pose_ref = pose_ref @ np.linalg.inv(ref_t[k])
+        pose_ours = pose_ours @ np.linalg.inv(ours_t[k])
+    xi = np.asarray(
+        se3.log(jnp.asarray(np.linalg.inv(pose_ref) @ pose_ours, jnp.float32)),
+        np.float64,
+    )
+    d_t, d_r, _ = BOUNDS[name]
+    n = ref_t.shape[0]
+    assert float(np.linalg.norm(xi[:3])) < d_t * n, xi
+    assert float(np.linalg.norm(xi[3:])) < d_r * n, xi
+
+
 @pytest.mark.skipif(
     not reference_available(), reason="reference mount not present"
 )
@@ -94,8 +141,8 @@ def test_matches_committed_goldens(name):
 def test_matches_live_reference(name):
     """Run the ACTUAL reference solver and compare transform-for-
     transform, iteration-count-for-iteration-count."""
-    down, n_frames, cfg = CASES[name]
-    ref = mg.run_reference_case(cfg, down, n_frames)
+    down, n_frames, cfg, source = CASES[name]
+    ref = mg.run_reference_case(cfg, down, n_frames, source)
     rows = mg.compare(ref, _run_ours(name))
     _assert_close(rows, name)
 
@@ -108,8 +155,8 @@ def test_live_reference_matches_goldens():
     reference reproduces them bitwise (pure Python is deterministic)."""
     goldens = json.loads(mg.GOLDENS_PATH.read_text())
     name = "approx_noweight"
-    down, n_frames, cfg = CASES[name]
-    ref = mg.run_reference_case(cfg, down, n_frames)
+    down, n_frames, cfg, source = CASES[name]
+    ref = mg.run_reference_case(cfg, down, n_frames, source)
     stored = np.asarray(goldens[name]["transforms"], np.float64)
     np.testing.assert_array_equal(ref["transforms"], stored)
     assert [

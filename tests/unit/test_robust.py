@@ -745,3 +745,40 @@ class TestRealFrames:
         err_id = np.linalg.norm(t_gt[:3, 3])
         assert err_est < err_id * 0.5
         assert err_est < 0.05  # within 5 cm on a consecutive TUM-style pair
+
+
+class TestPerLevelIterationCaps:
+    def test_caps_apply_per_level(self):
+        """max_iterations_per_level bounds each level's executed
+        iterations independently (both the level kernel and the XLA
+        loop read the per-level cap)."""
+        from dense_visual_odometry_tpu.config import TWeighterConfig
+
+        tx = 0.012
+        gray1, gray2, depth = _shifted_pair(tx)
+        camera = CameraModel.create(K, 1.0)
+        prev = _frame_data(gray1, depth, 3)
+        curr = _frame_data(gray2, depth, 3)
+        base = dict(
+            levels=3, use_weighter=True, packed_sampling=True,
+            weighter=TWeighterConfig(scale_subsample=4),
+            shift_stack_radius=3, shift_stack_levels=(0, 1),
+            approximate_image2_gradient=True, lm_lambda0=1e-4,
+            use_pallas_stack=True, use_fused_iteration=True,
+            freeze_shift_window=True, use_level_kernel=True,
+            tolerance=1e-9, max_iterations=25,
+        )
+        r_full = track_pair(prev, curr, camera, RobustDVOConfig(**base))
+        iters_full = np.asarray(r_full.diagnostics.iterations)
+        # Choose caps strictly below what the uncapped solve executed.
+        caps = (int(iters_full[2]) - 1, 25, max(1, int(iters_full[0]) - 2))
+        cfg = RobustDVOConfig(
+            **base, max_iterations_per_level=(caps[0], caps[1], caps[2])
+        )
+        r = track_pair(prev, curr, camera, cfg)
+        iters = np.asarray(r.diagnostics.iterations)
+        # diagnostics stack coarse-to-fine: index 0 = coarsest = level 2.
+        assert iters[0] <= caps[2], (iters, caps)
+        assert iters[2] <= caps[0], (iters, caps)
+        assert bool(r.success)
+        assert np.asarray(r.transform)[0, 3] == pytest.approx(tx, abs=3e-3)

@@ -299,3 +299,71 @@ def test_save_mesh_obj_roundtrip(tmp_path):
     parts = [float(t) for t in v_lines[0].split()[1:]]
     np.testing.assert_allclose(parts[:3], verts[0], atol=1e-5)
     assert len(parts) == 6 and 0.0 <= parts[3] <= 1.0
+
+
+def test_raycast_view_matches_analytic_sphere():
+    """The splat raycast renders the analytic sphere volume to within a
+    voxel of exact ray-traced depth (sub-voxel SDF correction included),
+    and reports holes as 0-depth."""
+    from dense_visual_odometry_tpu.models.tsdf import raycast_view
+
+    cfg = TSDFConfig.around(CENTER, 1.0, resolution=96)
+    vol = sphere_volume(cfg)
+    h, w = 60, 80
+    k = np.array(
+        [[70.0, 0, (w - 1) / 2], [0, 70.0, (h - 1) / 2], [0, 0, 1.0]],
+        np.float32,
+    )
+    for eye in ([0.0, 0.0, 0.2], [0.35, 0.1, 0.35]):
+        pose = lookat(eye, CENTER)
+        depth, gray = raycast_view(
+            vol, jnp.asarray(k), jnp.asarray(pose, jnp.float32), cfg,
+            (h, w),
+        )
+        depth = np.asarray(depth)
+        want = render_sphere_depth(h, w, k, pose)
+        # Compare where both see the surface.  Grazing incidence is
+        # inherently ill-conditioned for ANY surface renderer (the
+        # stored SDF is a view-ray distance only near the crossing, and
+        # a half-voxel projection offset moves the limb depth by many
+        # voxels), so the tight bound applies at cos(incidence) > 0.5
+        # and the silhouette band only gets a median bound.
+        both = (depth > 0) & (want > 0)
+        t_cw = np.linalg.inv(pose)
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        rays = np.stack(
+            [(uu - k[0, 2]) / k[0, 0], (vv - k[1, 2]) / k[1, 1],
+             np.ones_like(want)], -1,
+        )
+        p_cam = rays * want[..., None]
+        p_world = p_cam @ pose[:3, :3].T + pose[:3, 3]
+        normal = p_world - CENTER
+        normal /= np.maximum(
+            np.linalg.norm(normal, axis=-1, keepdims=True), 1e-9
+        )
+        raydir = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+        raydir_w = raydir @ pose[:3, :3].T
+        cosi = np.abs(np.sum(raydir_w * normal, axis=-1))
+        frontal = both & (cosi > 0.5)
+        coverage = frontal.sum() / max(((want > 0) & (cosi > 0.5)).sum(), 1)
+        assert coverage > 0.8, f"raycast lost the surface: {coverage:.2f}"
+        # Measured accuracy profile: sub-half-voxel frontally, ~2 voxels
+        # at 60 deg incidence (the SDF correction is a view-ray distance
+        # only near the crossing; obliquity scales its error by 1/cos).
+        head_on = both & (cosi > 0.85)
+        err_h = np.abs(depth[head_on] - want[head_on])
+        assert np.quantile(err_h, 0.9) < 0.5 * cfg.voxel_size, (
+            eye, np.quantile(err_h, 0.9) / cfg.voxel_size
+        )
+        err_f = np.abs(depth[frontal] - want[frontal])
+        assert np.quantile(err_f, 0.9) < 2.5 * cfg.voxel_size, (
+            eye, np.quantile(err_f, 0.9) / cfg.voxel_size
+        )
+        err_all = np.abs(depth[both] - want[both])
+        assert np.median(err_all) < 1.5 * cfg.voxel_size
+        m = frontal
+        # Color comes from the volume's running-average intensity.
+        g = np.asarray(gray)
+        assert np.all(np.abs(g[m] - 128.0) < 1.0)
+        # No surface behind the camera side: coverage is bounded.
+        assert (depth > 0).mean() < 0.95
