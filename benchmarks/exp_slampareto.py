@@ -70,6 +70,15 @@ VARIANTS["fast_illum"] = dict(_fast, illumination="bias")
 VARIANTS["fast_illum_cap"] = dict(
     _fast, illumination="bias", max_iterations_per_level=[12, 12, 12, 6]
 )
+# Keyframe-baseline warps exceed the shift ball, so SLAM solves run the
+# gather fallback — whose rel-tol is TIGHTENED 10x by
+# fallback_tolerance_scale (an accuracy guard tuned for odometry's rare
+# hard frames, not for a regime where EVERY frame is "hard").  Keep the
+# odometry rel-tol on the fallback path instead.
+VARIANTS["fast_illum_cap_ftol"] = dict(
+    _fast, illumination="bias", max_iterations_per_level=[12, 12, 12, 6],
+    fallback_tolerance_scale=1.0,
+)
 
 
 def main():

@@ -1,0 +1,99 @@
+"""Multi-stream SLAM serving throughput: aggregate frames/s at B streams.
+
+VERDICT r3 task 7 measurement: B independent SLAM sessions share one
+batched fused front-end step (models/batched_slam.py), so the per-frame
+transport floor is paid once per BATCH instead of once per stream.
+Streams run the bundled 10-frame set with per-stream start offsets
+(desynchronized keyframe promotions — the realistic serving mix).
+
+One JSON line per B; appended to benchmarks/slamstreams.jsonl.
+Run on the real TPU.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, nargs="+", default=[8, 16, 32])
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--config",
+                    default=str(REPO / "configs" / "tpu_fast.json"))
+    ap.add_argument("--illum", action="store_true", default=True)
+    ap.add_argument("--out",
+                    default=str(REPO / "benchmarks" / "slamstreams.jsonl"))
+    args = ap.parse_args()
+
+    import jax
+
+    from dense_visual_odometry_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax.default_backend())
+
+    import numpy as np
+
+    from dense_visual_odometry_tpu.config import RobustDVOConfig
+    from dense_visual_odometry_tpu.io import load_bundled_sequence
+    from dense_visual_odometry_tpu.models.batched_slam import (
+        BatchedSlamSession,
+    )
+
+    cfg_dict = json.loads(Path(args.config).read_text())
+    if args.illum:
+        cfg_dict["illumination"] = "bias"
+    cfg = RobustDVOConfig.from_dict(cfg_dict)
+    seq = load_bundled_sequence()
+    frames = [seq.frame(i) for i in range(len(seq))]
+    n_src = len(frames)
+    out_path = Path(args.out)
+
+    for b in args.streams:
+        slam = BatchedSlamSession(seq.camera, cfg, n_streams=b)
+
+        def batch_at(t):
+            imgs, deps = [], []
+            for s in range(b):
+                rgb, dep = frames[(t + s) % n_src]
+                imgs.append(rgb)
+                deps.append(dep)
+            return imgs, deps
+
+        # Warmup (includes compiles + first promotions).
+        warm = 4
+        t_start = time.perf_counter()
+        for t in range(warm):
+            slam.step(*batch_at(t))
+        compile_s = time.perf_counter() - t_start
+
+        times = []
+        for t in range(warm, args.frames):
+            it0 = time.perf_counter()
+            slam.step(*batch_at(t))
+            times.append(time.perf_counter() - it0)
+        med = float(np.median(times))
+        rec = {
+            "streams": b,
+            "frames_per_stream": args.frames - warm,
+            "compile_plus_warm_s": round(compile_s, 1),
+            "median_batch_ms": round(med * 1e3, 1),
+            "aggregate_fps": round(b / med, 1),
+            "per_stream_fps": round(1.0 / med, 2),
+            "mean_batch_ms": round(float(np.mean(times)) * 1e3, 1),
+            "keyframes": slam.num_keyframes,
+        }
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with out_path.open("a") as fh:
+            fh.write(line + "\n")
+    print("slam streams done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
