@@ -79,6 +79,11 @@ VARIANTS["fast_illum_cap_ftol"] = dict(
     _fast, illumination="bias", max_iterations_per_level=[12, 12, 12, 6],
     fallback_tolerance_scale=1.0,
 )
+# Two-step tracking (KeyframePolicy.two_step_tracking, see models/slam.py):
+# frame-to-frame on the kernel path + short frame-to-keyframe refinement.
+# Variant names starting with "two_step" pass --slam-two-step to the CLI.
+VARIANTS["two_step_fast_illum"] = dict(_fast, illumination="bias")
+VARIANTS["two_step_accurate"] = dict(BASE, max_iterations=24)
 
 
 def main():
@@ -108,9 +113,10 @@ def main():
             json.dump(cfg_dict, fh)
             cfg_file = fh.name
         t0 = time.perf_counter()
-        summary = bench_cli.run(bench_cli.parse_args(
-            ["tum-fr1", "-d", args.data, "-c", cfg_file, "-m", "slam"]
-        ))
+        argv = ["tum-fr1", "-d", args.data, "-c", cfg_file, "-m", "slam"]
+        if name.startswith("two_step"):
+            argv.append("--slam-two-step")
+        summary = bench_cli.run(bench_cli.parse_args(argv))
         rec = {
             "variant": name,
             "run_s": round(time.perf_counter() - t0, 1),

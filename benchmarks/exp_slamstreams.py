@@ -78,6 +78,38 @@ def main():
             slam.step(*batch_at(t))
             times.append(time.perf_counter() - it0)
         med = float(np.median(times))
+        # Attribution: the relay tunnel serializes the host->device
+        # payload (B x ~1.5 MB/frame), so aggregate fps can be
+        # transport-bound rather than chip-bound.  Separate the two:
+        # (a) upload-only: device_put + sync of one frame batch;
+        # (b) solve-only: the fused batched step fed DEVICE-resident
+        #     arrays (upload skipped), pack read back.
+        from dense_visual_odometry_tpu.models.batched_slam import (
+            _fused_step_batched,
+        )
+
+        imgs, deps = batch_at(args.frames)
+        img_b = np.ascontiguousarray(np.stack(imgs))
+        dep_b = np.ascontiguousarray(np.stack(deps))
+        up_times, sv_times = [], []
+        img_d = dep_d = None
+        for _ in range(5):
+            u0 = time.perf_counter()
+            img_d = jax.device_put(img_b)
+            dep_d = jax.device_put(dep_b)
+            np.asarray(img_d[0, 0, 0]); np.asarray(dep_d[0, 0, 0])
+            up_times.append(time.perf_counter() - u0)
+        init_b = np.stack(
+            [s_.init_guess() for s_ in slam.sessions]
+        ).astype(np.float32)
+        for _ in range(6):
+            s0 = time.perf_counter()
+            _, pack_d = _fused_step_batched(
+                slam._keyframes, img_d, dep_d, slam._intrinsics,
+                np.float32(seq.camera.depth_scale), init_b, cfg,
+            )
+            np.asarray(pack_d)
+            sv_times.append(time.perf_counter() - s0)
         rec = {
             "streams": b,
             "frames_per_stream": args.frames - warm,
@@ -87,6 +119,8 @@ def main():
             "per_stream_fps": round(1.0 / med, 2),
             "mean_batch_ms": round(float(np.mean(times)) * 1e3, 1),
             "keyframes": slam.num_keyframes,
+            "upload_only_ms": round(float(np.median(up_times)) * 1e3, 1),
+            "solve_only_ms": round(float(np.median(sv_times[1:])) * 1e3, 1),
         }
         line = json.dumps(rec)
         print(line, flush=True)

@@ -52,6 +52,11 @@ def parse_args(argv=None):
                         "host->device upload with the previous solve "
                         "(steady-state latency of a streaming deployment; "
                         "poses lag by one frame during the run)")
+    parser.add_argument("--slam-two-step", action="store_true",
+                        help="SLAM: frame-to-frame solve on the fused "
+                             "kernel path + short frame-to-keyframe "
+                             "refinement, one device program "
+                             "(KeyframePolicy.two_step_tracking)")
     parser.add_argument("--sparse-matcher", type=str, default="zncc",
                         choices=["zncc", "learned"],
                         help="matcher for -m sparse: classical Harris+ZNCC "
@@ -78,14 +83,21 @@ def parse_args(argv=None):
 def _make_stepper(
     method: str, seq, cfg, sparse_matcher: str = "zncc",
     host_gray: bool = False, dense_refine: bool = False,
+    slam_two_step: bool = False,
 ):
     """-> (step(rgb, depth) -> (4,4) np pose, finalize() -> extra dict)."""
     import numpy as np
 
     if method == "slam":
-        from dense_visual_odometry_tpu.models.slam import SlamSession
+        from dense_visual_odometry_tpu.models.slam import (
+            KeyframePolicy,
+            SlamSession,
+        )
 
-        slam = SlamSession(seq.camera, cfg)
+        policy = (
+            KeyframePolicy(two_step_tracking=True) if slam_two_step else None
+        )
+        slam = SlamSession(seq.camera, cfg, policy=policy)
 
         def step(rgb, depth):
             return np.asarray(slam.step(rgb, depth).matrix, dtype=np.float64)
@@ -175,6 +187,7 @@ def run(args) -> dict:
         args.method, seq, cfg, getattr(args, "sparse_matcher", "zncc"),
         host_gray=bool(getattr(args, "host_gray", False)),
         dense_refine=bool(getattr(args, "dense_refine", False)),
+        slam_two_step=bool(getattr(args, "slam_two_step", False)),
     )
 
     pipeline = bool(getattr(args, "pipeline", False)) and args.method == "robust-dvo"

@@ -96,6 +96,20 @@ class KeyframePolicy:
     relocalize: bool = True
     relocalize_after: int = 3
     relocalize_min_similarity: float = 0.80
+    # Two-step tracking (round-4 SLAM latency lever): keyframe-baseline
+    # warps exceed the shift ball, so a DIRECT frame-to-keyframe solve
+    # runs the gather fallback for most of its iterations (measured: the
+    # whole 111-vs-64 ms SLAM-vs-odometry gap).  Instead (1) solve
+    # frame-to-PREVIOUS-frame — a tiny warp that stays on the
+    # level-fused kernel — then (2) refine frame-to-KEYFRAME from the
+    # composed estimate with a short per-level budget
+    # (``refine_max_iterations``), which starts inside the fine basin
+    # and only has to remove the single-composition drift.  Both solves
+    # run inside the same fused device program (still ONE round trip);
+    # the keyframe edge, Hessian and all policy scalars come from the
+    # refinement solve, so graph semantics are unchanged.
+    two_step_tracking: bool = False
+    refine_max_iterations: tuple = (6, 4, 3, 3)  # index 0 = finest
 
 
 class SlamSession:
@@ -144,6 +158,26 @@ class SlamSession:
         self._active_kf = -1
         self._lost_count = 0
         self.relocalizations: List[tuple] = []  # (frame_idx, keyframe_id)
+        # Two-step tracking state (policy.two_step_tracking): the
+        # previous frame's FrameData (device) and the short-budget
+        # refinement config.
+        self._prev_fd: Optional[FrameData] = None
+        if self.policy.two_step_tracking:
+            caps = tuple(self.policy.refine_max_iterations)
+            caps = (
+                caps[: self.config.levels]
+                + (caps[-1],) * max(0, self.config.levels - len(caps))
+            )
+            self._cfg_refine = dataclasses.replace(
+                self.config,
+                max_iterations_per_level=caps,
+                # The odometry-tuned 10x fallback tolerance tightening
+                # would spend the whole budget chasing precision the
+                # caps cannot reach anyway.
+                fallback_tolerance_scale=1.0,
+            )
+        else:
+            self._cfg_refine = None
 
     # -- internals ---------------------------------------------------------
     def _valid_count(self, fd: FrameData) -> float:
@@ -411,19 +445,31 @@ class SlamSession:
         # each their own synchronous round trip on the relay transport
         # (measured 2x the cost, RESULTS.md latency attribution); as jit
         # arguments the uploads ride the single dispatch.
-        fd, result, pack_d = _fused_step(
-            self._keyframe, np.ascontiguousarray(image),
-            np.ascontiguousarray(depth),
-            self._intrinsics, np.float32(self.camera.depth_scale),
-            self.init_guess(), self.config,
-        )
+        if self.policy.two_step_tracking and self._prev_fd is not None:
+            fd, result, pack_d = _fused_step_two(
+                self._keyframe, self._prev_fd,
+                np.ascontiguousarray(image), np.ascontiguousarray(depth),
+                self._intrinsics, np.float32(self.camera.depth_scale),
+                self._last_inc.astype(np.float32),
+                np.linalg.inv(self._rel_to_kf).astype(np.float32),
+                self.config, self._cfg_refine,
+            )
+        else:
+            fd, result, pack_d = _fused_step(
+                self._keyframe, np.ascontiguousarray(image),
+                np.ascontiguousarray(depth),
+                self._intrinsics, np.float32(self.camera.depth_scale),
+                self.init_guess(), self.config,
+            )
         self.last_result = result
         pack = np.asarray(pack_d, np.float64)  # the ONE host sync per frame
+        self._prev_fd = fd
         return self.apply_step(lambda: fd, pack)
 
     def _first_frame(self, fd: FrameData) -> Pose:
         """Anchor the session at its first frame (keyframe 0, identity)."""
         pose = np.eye(4)
+        self._prev_fd = fd
         self._promote(fd, pose, None)
         self.frame_poses.append(pose)
         self._frame_kf.append(0)
@@ -699,6 +745,59 @@ _PK_VALID = 24  # valid-depth pixel count at the finest level
 _PK_HESSIAN = slice(25, 61)  # (6,6) finest-level J^T W J, row-major
 _PK_DESC = slice(61, 157)  # 96-float place-recognition descriptor
 _PK_SIZE = 157
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg_refine"))
+def _fused_step_two(
+    keyframe: FrameData,
+    prev_fd: FrameData,
+    image: jnp.ndarray,
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    init_inc: jnp.ndarray,
+    prev_from_kf: jnp.ndarray,
+    cfg: RobustDVOConfig,
+    cfg_refine: RobustDVOConfig,
+):
+    """Two-step SLAM front-end in one device program (see
+    ``KeyframePolicy.two_step_tracking``).
+
+    init_inc : (4, 4) expected frame-to-frame transform (points_prev ->
+        points_curr), the constant-velocity seed for step 1.
+    prev_from_kf : (4, 4) transform mapping keyframe-cam points to the
+        PREVIOUS frame's camera (= inv(rel_to_kf) of the last frame) —
+        composes step 1's answer into step 2's warm start.
+    """
+    camera = CameraModel(intrinsics=intrinsics, depth_scale=depth_scale)
+    fd = preprocess_frame(
+        image, depth, camera,
+        levels=cfg.levels, max_distance=cfg.max_distance,
+        quantize=cfg.quantize_intensity,
+    )
+    r1 = track_pair(
+        prev_fd, fd, camera, cfg,
+        init_guess=init_inc, last_transform=init_inc,
+    )
+    init2 = r1.transform @ prev_from_kf
+    # Fall back to the plain composed seed if step 1 failed (few valid
+    # pixels etc.) — the refinement then does the full correction within
+    # its budget, and its own success flag gates the policy as usual.
+    init2 = jnp.where(r1.success, init2, init_inc @ prev_from_kf)
+    result = track_pair(
+        keyframe, fd, camera, cfg_refine,
+        init_guess=init2, last_transform=init2,
+    )
+    pack = jnp.concatenate([
+        result.transform.reshape(-1),
+        result.success.astype(jnp.float32).reshape(1),
+        result.diagnostics.error[-1].reshape(1),
+        se3.log(result.transform).reshape(-1),
+        jnp.sum(fd.depth_m[0] > 0.0, dtype=jnp.float32).reshape(1),
+        result.hessian.reshape(-1),
+        _frame_descriptor(fd.gray[-1]),
+    ])
+    return fd, result, pack
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -172,3 +172,34 @@ class TestCheckpoint:
         np.testing.assert_array_equal(data["poses"], poses)
         assert data["frame_index"] == 7
         np.testing.assert_array_equal(data["timestamps"], ts)
+
+
+class TestTwoStepTracking:
+    def test_two_step_matches_single_step_accuracy(self, short_seq):
+        """Two-step tracking (frame-to-frame kernel solve + short
+        frame-to-keyframe refinement in one program) must track the
+        bundled sequence to the same accuracy class as the direct
+        frame-to-keyframe solve, with keyframe promotions exercised."""
+        cfg = RobustDVOConfig(levels=4, use_weighter=True, lm_lambda0=1e-4)
+        results = {}
+        for two_step in (False, True):
+            slam = SlamSession(
+                short_seq.camera, cfg,
+                KeyframePolicy(
+                    max_translation=0.01, max_rotation=0.01, window=4,
+                    two_step_tracking=two_step,
+                ),
+            )
+            for rgb, depth in short_seq:
+                slam.step(rgb, depth)
+            traj = slam.optimized_trajectory()
+            gt_rel = np.einsum(
+                "ij,njk->nik", np.linalg.inv(short_seq.gt_poses[0]),
+                short_seq.gt_poses,
+            )
+            ate, _ = metrics.ate_rmse(traj, gt_rel)
+            results[two_step] = (ate, slam.num_keyframes)
+        assert results[True][1] >= 3  # promotions happened
+        assert results[True][0] < 0.02, results
+        # Same accuracy class (the refinement keeps the keyframe anchor).
+        assert results[True][0] < 2.5 * results[False][0] + 1e-3, results
