@@ -45,7 +45,6 @@ from dense_visual_odometry_tpu.models.robust import (
     track_pair,
 )
 from dense_visual_odometry_tpu.models.slam import (
-    _PK_SIZE,
     KeyframePolicy,
     SlamSession,
     _preprocess,
@@ -147,6 +146,12 @@ class BatchedSlamSession:
     ):
         self.camera = camera
         self.config = config or RobustDVOConfig(levels=4, use_weighter=True)
+        if policy is not None and policy.two_step_tracking:
+            raise NotImplementedError(
+                "two_step_tracking is single-stream only for now (the "
+                "batched step would need per-stream previous-frame state "
+                "on device, like the keyframe tree)"
+            )
         self.n_streams = n_streams
         self.sessions: List[SlamSession] = [
             SlamSession(camera, self.config, policy)
