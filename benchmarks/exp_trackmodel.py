@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--extent", type=float, default=10.0)
     ap.add_argument("--resolution", type=int, default=256)
     ap.add_argument("--every", type=int, default=1)
+    ap.add_argument("--kinfu", action="store_true",
+                    help="per-frame model render (KinectFusion loop)")
+    ap.add_argument("--raycast", default=None,
+                    choices=["splat", "march"])
     ap.add_argument("--out",
                     default=str(REPO / "benchmarks" / "trackmodel.jsonl"))
     args = ap.parse_args()
@@ -44,6 +48,7 @@ def main():
     from dense_visual_odometry_tpu.io import load_tum_sequence
     from dense_visual_odometry_tpu.models.frame_to_model import (
         FrameToModelTracker,
+        ModelTrackerPolicy,
     )
     from dense_visual_odometry_tpu.models.tsdf import TSDFConfig
 
@@ -60,14 +65,24 @@ def main():
         (0.0, 0.0, z_med), args.extent, resolution=args.resolution,
         truncation=4.0 * args.extent / args.resolution,
     )
+    policy = ModelTrackerPolicy(
+        render_every_frame=args.kinfu,
+        raycast=args.raycast or ("march" if args.kinfu else "splat"),
+    )
     tracker = FrameToModelTracker(
-        seq.camera, cfg, tcfg, every=args.every
+        seq.camera, cfg, tcfg, policy=policy, every=args.every
     )
     times = []
-    for rgb, depth in seq.prefetched():
+    for i, (rgb, depth) in enumerate(seq.prefetched()):
         t0 = time.perf_counter()
         tracker.step(rgb, depth)
         times.append(time.perf_counter() - t0)
+        if i % 25 == 0:
+            print(
+                f"frame {i}: {times[-1] * 1e3:.0f} ms "
+                f"(renders {tracker.renders}, failures {tracker.failures})",
+                flush=True,
+            )
     poses = tracker.trajectory()
     gt_rel = np.einsum(
         "ij,njk->nik", np.linalg.inv(seq.gt_poses[0]), seq.gt_poses
@@ -83,6 +98,8 @@ def main():
         "renders": tracker.renders,
         "failures": tracker.failures,
         "voxel_m": round(tcfg.voxel_size, 4),
+        "mode": "kinfu" if args.kinfu else "keyframe",
+        "raycast": policy.raycast,
         "backend": jax.default_backend(),
     }
     line = json.dumps(rec)

@@ -208,6 +208,12 @@ def load_slam_session(path, slam):
         np.zeros(96) if fd is None else np.asarray(_frame_descriptor(fd.gray[-1]))
         for fd in slam._kf_frames
     ]
+    # Two-step tracking state: the previous frame's pyramids are not
+    # checkpointed (they are one frame of transient data); a resumed
+    # two-step session takes the direct frame-to-keyframe path for its
+    # first step (the `_prev_fd is None` guard) and is back on the
+    # two-step program from the second.
+    slam._prev_fd = None
     return slam
 
 

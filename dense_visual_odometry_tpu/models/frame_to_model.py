@@ -31,7 +31,11 @@ import numpy as np
 
 from dense_visual_odometry_tpu.camera import CameraModel
 from dense_visual_odometry_tpu.config import RobustDVOConfig
-from dense_visual_odometry_tpu.models.robust import FrameData, track_pair
+from dense_visual_odometry_tpu.models.robust import (
+    FrameData,
+    preprocess_frame,
+    track_pair,
+)
 from dense_visual_odometry_tpu.models.slam import _preprocess
 from dense_visual_odometry_tpu.models.tsdf import (
     TSDFConfig,
@@ -39,6 +43,7 @@ from dense_visual_odometry_tpu.models.tsdf import (
     integrate,
     make_volume,
     raycast_view,
+    raycast_view_march,
 )
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.utils.lie import Pose, se3
@@ -55,9 +60,29 @@ class ModelTrackerPolicy:
     integrate_on_failure: bool = False
     min_weight: float = 1.0  # raycast surface-confidence gate
     max_render_depth: float = 10.0
+    # Render the model prediction EVERY frame at the previous pose and
+    # track against it (the KinectFusion loop), with render + preprocess
+    # + track + integrate fused into ONE donated device program — still
+    # a single round trip per frame.  The warp is then always one
+    # frame's motion, so the splat raycast's oblique-incidence depth
+    # error (which grows with viewpoint gap — measured ~2 voxels at
+    # 60 deg) stops accumulating into the template; keyframe mode
+    # (False) renders only when the pose leaves the envelope and
+    # measured ~1 m ATE on fr1-difficulty at 39 mm voxels exactly
+    # because of that stale-view error (benchmarks/trackmodel.jsonl).
+    render_every_frame: bool = False
+    # Which renderer produces the virtual keyframe: "splat" (one
+    # scatter pass, ~half-voxel per-pixel jitter — cheap, fine for
+    # occasional keyframe renders) or "march" (per-ray SDF marching
+    # with trilinear sub-voxel refinement — the KinectFusion surface
+    # prediction; the required choice for render_every_frame, where
+    # splat jitter random-walks into the trajectory).
+    raycast: str = "splat"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tsdf_cfg", "shape"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tsdf_cfg", "shape", "raycast")
+)
 def _render_keyframe(
     volume: TSDFVolume,
     intrinsics: jnp.ndarray,
@@ -67,10 +92,12 @@ def _render_keyframe(
     shape,
     min_weight: float,
     max_depth: float,
+    raycast: str = "splat",
 ) -> FrameData:
     """Raycast the volume into a virtual keyframe's pyramids (one
     program: render + pyramid build, nothing pixel-sized leaves)."""
-    depth, gray = raycast_view(
+    render = raycast_view if raycast == "splat" else raycast_view_march
+    depth, gray = render(
         volume, intrinsics, pose, tsdf_cfg, shape,
         min_weight=min_weight, max_depth=max_depth,
     )
@@ -100,6 +127,73 @@ def _track_step(
         se3.log(result.transform).reshape(-1),
     ])
     return pack
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "tsdf_cfg", "shape", "raycast"),
+    donate_argnums=(0,),
+)
+def _kinfu_step(
+    volume: TSDFVolume,
+    pose_prev: jnp.ndarray,  # (4, 4) camera-to-world of the last frame
+    image: jnp.ndarray,
+    depth: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    depth_scale: jnp.ndarray,
+    init_inc: jnp.ndarray,  # (4, 4) expected prev->curr transform
+    integrate_this: jnp.ndarray,  # bool: fuse this frame (--every)
+    cfg: RobustDVOConfig,
+    tsdf_cfg: TSDFConfig,
+    shape,
+    min_weight: float,
+    max_depth: float,
+    raycast: str = "march",
+):
+    """One KinectFusion-style step, fully on device (volume donated).
+
+    Raycast the model at ``pose_prev`` -> virtual keyframe; preprocess
+    the incoming frame; track (small warp: one frame of motion);
+    integrate at the refined pose on success.  Returns
+    ``(volume', pack)`` with pack = [transform 16 | success 1 |
+    world 16 | valid_px 1].
+    """
+    render = raycast_view if raycast == "splat" else raycast_view_march
+    depth_r, gray_r = render(
+        volume, intrinsics, pose_prev, tsdf_cfg, shape,
+        min_weight=min_weight, max_depth=max_depth,
+    )
+    kf = FrameData(
+        gray=pyr_ops.build_pyramid(gray_r, cfg.levels),
+        depth_m=pyr_ops.build_pyramid(depth_r, cfg.levels),
+    )
+    camera = CameraModel(intrinsics=intrinsics, depth_scale=depth_scale)
+    fd = preprocess_frame(
+        image, depth, camera,
+        levels=cfg.levels, max_distance=cfg.max_distance,
+        quantize=cfg.quantize_intensity,
+    )
+    result = track_pair(
+        kf, fd, camera, cfg,
+        init_guess=init_inc, last_transform=init_inc,
+    )
+    rel = se3.inverse(result.transform)
+    world = jnp.where(result.success, pose_prev @ rel, pose_prev)
+    fused = integrate(
+        volume, fd.depth_m[0], fd.gray[0], intrinsics,
+        world.astype(jnp.float32), tsdf_cfg,
+    )
+    keep = result.success & integrate_this
+    new_vol = jax.tree.map(
+        lambda a, b: jnp.where(keep, a, b), fused, volume
+    )
+    pack = jnp.concatenate([
+        result.transform.reshape(-1),
+        result.success.astype(jnp.float32).reshape(1),
+        world.reshape(-1),
+        jnp.sum(fd.depth_m[0] > 0.0, dtype=jnp.float32).reshape(1),
+    ])
+    return new_vol, pack
 
 
 class FrameToModelTracker:
@@ -146,6 +240,7 @@ class FrameToModelTracker:
             self.volume, self._intrinsics, jnp.asarray(world, jnp.float32),
             self.config, self.tsdf_config, self._shape,
             self.policy.min_weight, self.policy.max_render_depth,
+            raycast=self.policy.raycast,
         )
         self._kf_pose = world.copy()
         self._rel_to_kf = np.eye(4)
@@ -153,6 +248,8 @@ class FrameToModelTracker:
 
     def step(self, image, depth) -> Pose:
         """Process one frame; returns its world pose."""
+        if self.policy.render_every_frame and self._shape is not None:
+            return self._step_kinfu(image, depth)
         fd = _preprocess(
             np.ascontiguousarray(image), np.ascontiguousarray(depth),
             self._intrinsics, np.float32(self.camera.depth_scale),
@@ -162,7 +259,9 @@ class FrameToModelTracker:
             self._shape = tuple(np.asarray(fd.depth_m[0]).shape)
             world = np.eye(4)
             self._integrate(fd, world)
-            self._render(world)
+            if not self.policy.render_every_frame:
+                self._render(world)
+            self._kf_pose = world.copy()
             self.frame_poses.append(world)
             self._frame_idx += 1
             return Pose.from_matrix(world)
@@ -198,6 +297,33 @@ class FrameToModelTracker:
             or np.linalg.norm(xi[3:]) > self.policy.max_rotation
         ):
             self._render(world)
+        self._frame_idx += 1
+        return Pose.from_matrix(world)
+
+    def _step_kinfu(self, image, depth) -> Pose:
+        """Per-frame-render mode: one fused donated device program."""
+        pose_prev = self.frame_poses[-1]
+        self.volume, pack_d = _kinfu_step(
+            self.volume, jnp.asarray(pose_prev, jnp.float32),
+            np.ascontiguousarray(image), np.ascontiguousarray(depth),
+            self._intrinsics, np.float32(self.camera.depth_scale),
+            self._last_inc.astype(np.float32),
+            np.bool_(self._frame_idx % self.every == 0),
+            self.config, self.tsdf_config, self._shape,
+            self.policy.min_weight, self.policy.max_render_depth,
+            raycast=self.policy.raycast,
+        )
+        pack = np.asarray(pack_d, np.float64)
+        success = pack[16] > 0.5
+        if success:
+            # transform maps prev-cam points to curr-cam points — the
+            # constant-velocity seed for the next step directly.
+            self._last_inc = pack[:16].reshape(4, 4)
+            self.renders += 1
+        else:
+            self.failures += 1
+        world = pack[17:33].reshape(4, 4)
+        self.frame_poses.append(world)
         self._frame_idx += 1
         return Pose.from_matrix(world)
 

@@ -381,6 +381,152 @@ def raycast_view(
     return depth, gray
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "shape", "n_steps")
+)
+def raycast_view_march(
+    volume: TSDFVolume,
+    intrinsics: jnp.ndarray,
+    pose: jnp.ndarray,
+    cfg: TSDFConfig,
+    shape: Tuple[int, int],
+    min_weight: float = 1.0,
+    max_depth: float = 10.0,
+    n_steps: int = 96,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render a virtual (depth, gray) view by per-ray SDF marching.
+
+    The quality path (the splat :func:`raycast_view` is one scatter pass
+    but carries ~half-voxel per-pixel jitter — fine for a one-shot
+    virtual keyframe, but per-frame re-rendering random-walks that
+    jitter into the trajectory).  Here each ray marches the truncated
+    field in fixed steps (``lax.fori_loop`` — one nearest-neighbour
+    gather pass per step, ~8 ns/index on this target, so a 640x480 x
+    96-step render is ~250 ms of gather time) and localizes the zero
+    crossing by linear interpolation between the last positive and
+    first negative samples — the standard KinectFusion surface
+    prediction, sub-voxel smooth.  Gray is sampled trilinearly at the
+    hit point.
+
+    pose : (4, 4) camera-to-world.  -> (depth_m (H, W) f32 with 0 = no
+    surface, gray (H, W) f32).
+    """
+    h, w = shape
+    d, hh, ww = cfg.dims
+    vs = cfg.voxel_size
+    ox, oy, oz = cfg.origin
+
+    # Unobserved / low-confidence voxels read as free space.
+    phi_field = jnp.where(
+        volume.weight >= min_weight, volume.tsdf, 1.0
+    ).reshape(-1)
+    gray_field = volume.gray.reshape(-1)
+
+    v_pix, u_pix = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32), indexing="ij",
+    )
+    # Camera rays normalized so the parameter t IS the camera-space
+    # depth (z component = t).
+    dx = (u_pix - intrinsics[0, 2]) / intrinsics[0, 0]
+    dy = (v_pix - intrinsics[1, 2]) / intrinsics[1, 1]
+    r = pose[:3, :3]
+    origin_w = pose[:3, 3]
+    dwx = r[0, 0] * dx + r[0, 1] * dy + r[0, 2]
+    dwy = r[1, 0] * dx + r[1, 1] * dy + r[1, 2]
+    dwz = r[2, 0] * dx + r[2, 1] * dy + r[2, 2]
+
+    def sample_nearest(t):
+        px = origin_w[0] + dwx * t
+        py = origin_w[1] + dwy * t
+        pz = origin_w[2] + dwz * t
+        ix = jnp.round((px - ox) / vs - 0.5).astype(jnp.int32)
+        iy = jnp.round((py - oy) / vs - 0.5).astype(jnp.int32)
+        iz = jnp.round((pz - oz) / vs - 0.5).astype(jnp.int32)
+        inside = (
+            (ix >= 0) & (ix < ww) & (iy >= 0) & (iy < hh)
+            & (iz >= 0) & (iz < d)
+        )
+        flat = (
+            jnp.clip(iz, 0, d - 1) * (hh * ww)
+            + jnp.clip(iy, 0, hh - 1) * ww
+            + jnp.clip(ix, 0, ww - 1)
+        )
+        phi = jnp.take(phi_field, flat.reshape(-1)).reshape(h, w)
+        return jnp.where(inside, phi, 1.0)
+
+    t0 = jnp.float32(cfg.min_depth)
+    dt = jnp.float32((max_depth - cfg.min_depth) / n_steps)
+
+    def body(i, carry):
+        found, t_hit, phi_prev, t_prev = carry
+        t = t0 + dt * (i + 1).astype(jnp.float32)
+        phi = sample_nearest(t)
+        crossing = (~found) & (phi < 0.0) & (phi_prev >= 0.0)
+        denom = jnp.maximum(phi_prev - phi, 1e-6)
+        t_lin = t_prev + (t - t_prev) * phi_prev / denom
+        t_hit = jnp.where(crossing, t_lin, t_hit)
+        found = found | crossing
+        return found, t_hit, phi, t
+
+    def sample_trilinear(field, t):
+        px = origin_w[0] + dwx * t
+        py = origin_w[1] + dwy * t
+        pz = origin_w[2] + dwz * t
+        fx = (px - ox) / vs - 0.5
+        fy = (py - oy) / vs - 0.5
+        fz = (pz - oz) / vs - 0.5
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        z0 = jnp.floor(fz)
+        wx1 = fx - x0
+        wy1 = fy - y0
+        wz1 = fz - z0
+        acc = jnp.zeros((h, w), jnp.float32)
+        for dz in (0, 1):
+            for dyy in (0, 1):
+                for dxx in (0, 1):
+                    ix = jnp.clip(x0.astype(jnp.int32) + dxx, 0, ww - 1)
+                    iy = jnp.clip(y0.astype(jnp.int32) + dyy, 0, hh - 1)
+                    iz = jnp.clip(z0.astype(jnp.int32) + dz, 0, d - 1)
+                    wgt = (
+                        (wx1 if dxx else 1.0 - wx1)
+                        * (wy1 if dyy else 1.0 - wy1)
+                        * (wz1 if dz else 1.0 - wz1)
+                    )
+                    flat = iz * (hh * ww) + iy * ww + ix
+                    acc = acc + wgt * jnp.take(
+                        field, flat.reshape(-1)
+                    ).reshape(h, w)
+        return acc
+
+    found0 = jnp.zeros((h, w), bool)
+    phi0 = sample_nearest(t0)
+    found, t_hit, _, _ = jax.lax.fori_loop(
+        0, n_steps, body,
+        (found0, jnp.zeros((h, w), jnp.float32), phi0, t0),
+    )
+    # Rays whose FIRST sample is already behind a surface (camera inside
+    # the truncation band) are invalid, as are non-crossing rays.
+    valid = found & (t_hit > cfg.min_depth)
+
+    # Sub-voxel refinement: the coarse crossing was localized from
+    # NEAREST-sampled phi (half-voxel jitter); two sphere-tracing steps
+    # on the TRILINEAR field (t <- t + phi * tau, phi ~ sdf/tau along
+    # the ray near the crossing) pull the hit onto the smooth surface.
+    for _ in range(2):
+        tau_hit = cfg.truncation + cfg.truncation_scale_sq * t_hit * t_hit
+        phi_t = sample_trilinear(phi_field, t_hit)
+        t_hit = jnp.where(
+            valid, t_hit + jnp.clip(phi_t, -0.5, 0.5) * tau_hit, t_hit
+        )
+
+    gray = sample_trilinear(gray_field, t_hit)
+    depth = jnp.where(valid, t_hit, 0.0)
+    gray = jnp.where(valid, gray, 0.0)
+    return depth, gray
+
+
 def extract_mesh(
     volume: TSDFVolume,
     cfg: TSDFConfig,
