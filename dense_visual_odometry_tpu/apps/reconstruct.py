@@ -51,6 +51,10 @@ def parse_args(argv=None):
                         "centred on the first frame's observed surface")
     p.add_argument("--track-resolution", type=int, default=192,
                    help="track-model: tracking-volume voxels per axis")
+    p.add_argument("--track-kinfu", action="store_true",
+                   help="track-model: render the model prediction EVERY "
+                        "frame (KinectFusion loop, marching raycast) "
+                        "instead of keyframe-held renders")
     p.add_argument("--trajectory", type=str, default=None,
                    help="report JSON or TUM txt with poses (skips tracking)")
     p.add_argument("--size", type=int, default=None, help="frame limit")
@@ -98,6 +102,7 @@ def _track_poses(seq, cfg, method: str, args=None) -> np.ndarray:
     if method == "track-model":
         from dense_visual_odometry_tpu.models.frame_to_model import (
             FrameToModelTracker,
+            ModelTrackerPolicy,
         )
         from dense_visual_odometry_tpu.models.tsdf import TSDFConfig
 
@@ -113,7 +118,12 @@ def _track_poses(seq, cfg, method: str, args=None) -> np.ndarray:
             center, extent, resolution=res,
             truncation=4.0 * extent / res,
         )
-        tracker = FrameToModelTracker(seq.camera, cfg, tcfg)
+        kinfu = bool(args and getattr(args, "track_kinfu", False))
+        policy = ModelTrackerPolicy(
+            render_every_frame=kinfu,
+            raycast="march" if kinfu else "splat",
+        )
+        tracker = FrameToModelTracker(seq.camera, cfg, tcfg, policy=policy)
         for rgb, depth in seq.prefetched():
             tracker.step(rgb, depth)
         logger.info(
