@@ -84,6 +84,8 @@ VARIANTS["fast_illum_cap_ftol"] = dict(
 # Variant names starting with "two_step" pass --slam-two-step to the CLI.
 VARIANTS["two_step_fast_illum"] = dict(_fast, illumination="bias")
 VARIANTS["two_step_accurate"] = dict(BASE, max_iterations=24)
+VARIANTS["two_step_tight"] = dict(_fast, illumination="bias")
+VARIANTS["two_step_tight_caps8-6-4-3"] = dict(_fast, illumination="bias")
 
 
 def main():
@@ -116,6 +118,9 @@ def main():
         argv = ["tum-fr1", "-d", args.data, "-c", cfg_file, "-m", "slam"]
         if name.startswith("two_step"):
             argv.append("--slam-two-step")
+            if "caps" in name:
+                argv += ["--slam-refine-caps",
+                         name.split("caps")[1].lstrip("_").replace("-", ",")]
         summary = bench_cli.run(bench_cli.parse_args(argv))
         rec = {
             "variant": name,

@@ -52,6 +52,9 @@ def parse_args(argv=None):
                         "host->device upload with the previous solve "
                         "(steady-state latency of a streaming deployment; "
                         "poses lag by one frame during the run)")
+    parser.add_argument("--slam-refine-caps", type=str, default=None,
+                        help="two-step SLAM: per-level refinement caps, "
+                             "finest first, e.g. 6,4,3,3")
     parser.add_argument("--slam-two-step", action="store_true",
                         help="SLAM: frame-to-frame solve on the fused "
                              "kernel path + short frame-to-keyframe "
@@ -84,6 +87,7 @@ def _make_stepper(
     method: str, seq, cfg, sparse_matcher: str = "zncc",
     host_gray: bool = False, dense_refine: bool = False,
     slam_two_step: bool = False,
+    slam_refine_caps=None,
 ):
     """-> (step(rgb, depth) -> (4,4) np pose, finalize() -> extra dict)."""
     import numpy as np
@@ -94,9 +98,14 @@ def _make_stepper(
             SlamSession,
         )
 
-        policy = (
-            KeyframePolicy(two_step_tracking=True) if slam_two_step else None
-        )
+        policy = None
+        if slam_two_step:
+            kw = {}
+            if slam_refine_caps:
+                kw["refine_max_iterations"] = tuple(
+                    int(x) for x in str(slam_refine_caps).split(",")
+                )
+            policy = KeyframePolicy(two_step_tracking=True, **kw)
         slam = SlamSession(seq.camera, cfg, policy=policy)
 
         def step(rgb, depth):
@@ -188,6 +197,7 @@ def run(args) -> dict:
         host_gray=bool(getattr(args, "host_gray", False)),
         dense_refine=bool(getattr(args, "dense_refine", False)),
         slam_two_step=bool(getattr(args, "slam_two_step", False)),
+        slam_refine_caps=getattr(args, "slam_refine_caps", None),
     )
 
     pipeline = bool(getattr(args, "pipeline", False)) and args.method == "robust-dvo"

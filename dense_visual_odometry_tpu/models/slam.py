@@ -168,13 +168,13 @@ class SlamSession:
                 caps[: self.config.levels]
                 + (caps[-1],) * max(0, self.config.levels - len(caps))
             )
+            # Keep the tight fallback tolerance: the refinement IS the
+            # keyframe anchor — measured with it loosened to 1.0 the
+            # anchor goes sloppy (0.89 vs 0.45 mm class ATE); the
+            # per-level caps bound the cost instead.
             self._cfg_refine = dataclasses.replace(
                 self.config,
                 max_iterations_per_level=caps,
-                # The odometry-tuned 10x fallback tolerance tightening
-                # would spend the whole budget chasing precision the
-                # caps cannot reach anyway.
-                fallback_tolerance_scale=1.0,
             )
         else:
             self._cfg_refine = None
