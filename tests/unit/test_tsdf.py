@@ -414,3 +414,72 @@ def test_raycast_march_subvoxel_accuracy():
         )
         g = np.asarray(gray)
         assert np.all(np.abs(g[frontal] - 128.0) < 1.0)
+
+
+def test_fused_mesh_surface_error_vs_ground_truth():
+    """Map-quality metric: fuse a rendered synthetic sequence at GROUND
+    TRUTH poses, extract the mesh, and measure vertex-to-true-surface
+    distance.  The scene is an analytic depth function z(x, y), so the
+    point-to-surface error is exact — median must stay within a voxel
+    (fusion averaging + marching-tetrahedra interpolation)."""
+    from dense_visual_odometry_tpu.io.synthetic import render_view
+    from dense_visual_odometry_tpu.models.tsdf import extract_mesh
+    from dense_visual_odometry_tpu.utils.lie import se3
+
+    h, w = 120, 160
+    k = np.array(
+        [[130.0, 0, (w - 1) / 2], [0, 130.0, (h - 1) / 2], [0, 0, 1.0]],
+        np.float32,
+    )
+    v, u = np.meshgrid(
+        np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64),
+        indexing="ij",
+    )
+    gray = (120 + 50 * np.sin(2 * np.pi * u / 23.0)
+            + 40 * np.cos(2 * np.pi * v / 17.0)).astype(np.float32)
+
+    def z_of(x, y):
+        # Surface depth as a function of WORLD (x, y): z = 2 + bumps.
+        return 2.0 + 0.2 * np.sin(2.5 * x) * np.cos(2.5 * y)
+
+    x_w = (u - k[0, 2]) / k[0, 0]
+    y_w = (v - k[1, 2]) / k[1, 1]
+    # Solve depth along each ray: z = z_of(x_w * z, y_w * z); two
+    # fixed-point sweeps converge (slopes << 1).
+    z = np.full((h, w), 2.0)
+    for _ in range(8):
+        z = z_of(x_w * z, y_w * z)
+    depth0 = z.astype(np.float32)
+
+    rng = np.random.default_rng(0)
+    cfg = TSDFConfig.around((0.0, 0.0, 2.0), 2.5, resolution=100)
+    vol = make_volume(cfg)
+    pose = np.eye(4)
+    import jax.numpy as jnp_
+
+    from dense_visual_odometry_tpu.models.tsdf import integrate as _integ
+
+    for i in range(8):
+        if i == 0:
+            g, d = gray, depth0
+        else:
+            xi = rng.uniform(-1, 1, 6) * np.array(
+                [8e-3, 8e-3, 1e-2, 4e-3, 4e-3, 5e-3]
+            )
+            pose = pose @ np.asarray(se3.exp(np.asarray(xi, np.float32)))
+            g, d = render_view(gray, depth0, k, np.linalg.inv(pose))
+        vol = _integ(
+            vol, jnp_.asarray(d), jnp_.asarray(g), jnp_.asarray(k),
+            jnp_.asarray(pose, jnp_.float32), cfg,
+        )
+    verts, faces, vgray = extract_mesh(vol, cfg)
+    assert len(verts) > 1000
+    # Point-to-surface: compare each vertex's z against z_of(x, y)
+    # (surface is a graph over (x, y), interior region only).
+    vx, vy, vz = verts[:, 0], verts[:, 1], verts[:, 2]
+    interior = (np.abs(vx) < 0.6) & (np.abs(vy) < 0.45)
+    err = np.abs(vz[interior] - z_of(vx[interior], vy[interior]))
+    assert np.median(err) < cfg.voxel_size, (
+        np.median(err), cfg.voxel_size
+    )
+    assert np.quantile(err, 0.9) < 2.5 * cfg.voxel_size
