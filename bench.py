@@ -201,11 +201,16 @@ def main():
                     ["-o", str(HARD_SET), "--frames", "500",
                      "--motion", "handheld-fr1", "--seed", "0"]
                 )
+            import contextlib
+
             from dense_visual_odometry_tpu.apps import benchmark as bench_cli
 
-            summary = bench_cli.run(bench_cli.parse_args(
-                ["tum-fr1", "-d", str(HARD_SET), "-c", str(PARITY_CONFIG)]
-            ))
+            # The CLI prints its own summary JSON; keep THIS process's
+            # stdout to exactly ONE line (the driver parses it).
+            with contextlib.redirect_stdout(sys.stderr):
+                summary = bench_cli.run(bench_cli.parse_args(
+                    ["tum-fr1", "-d", str(HARD_SET), "-c", str(PARITY_CONFIG)]
+                ))
             ate_hard_mm = round(summary["ate_rmse_m"] * 1e3, 2)
             parity_ms_hard = round(summary["median_frame_ms"], 1)
         except Exception as exc:  # degrade, don't lose the headline
