@@ -85,6 +85,8 @@ VARIANTS["fast_illum_cap_ftol"] = dict(
 VARIANTS["two_step_fast_illum"] = dict(_fast, illumination="bias")
 VARIANTS["two_step_accurate"] = dict(BASE, max_iterations=24)
 VARIANTS["two_step_tight"] = dict(_fast, illumination="bias")
+_slam = _json.loads((REPO / "configs" / "tpu_slam.json").read_text())
+VARIANTS["slam_allkernel"] = dict(_slam, shift_stack_levels=[0, 1, 2, 3])
 VARIANTS["two_step_tight_caps8-6-4-3"] = dict(_fast, illumination="bias")
 
 
