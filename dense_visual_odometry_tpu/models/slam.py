@@ -313,6 +313,49 @@ class SlamSession:
             self._edges_info.append(info)
             self.loop_closures.append((j, kf_id, float(errs[b])))
 
+    def _reloc_candidates(self, desc: np.ndarray):
+        """-> [(similarity, keyframe_id), ...] relocalization candidates,
+        best first, gated on ``relocalize_min_similarity`` and capped at
+        ``loop_max_candidates``.  Host-only given the frame descriptor
+        (one (K, 96) matvec), so batched callers can group many streams'
+        verifications into one device call."""
+        js = [
+            j
+            for j in range(len(self._kf_frames))
+            if self._kf_frames[j] is not None
+        ]
+        if not js:
+            return []
+        sims = np.stack([self._kf_desc[j] for j in js]) @ desc
+        order = np.argsort(-sims)
+        return [
+            (float(sims[l]), js[l])
+            for l in order
+            if sims[l] >= self.policy.relocalize_min_similarity
+        ][: self.policy.loop_max_candidates]
+
+    def _reloc_apply(self, cand, success, errs, transforms) -> bool:
+        """Apply dense-verification results for ``cand``: re-anchor at the
+        best verified keyframe (lowest final error under the
+        ``loop_max_error`` gate).  ``success``/``errs``/``transforms`` are
+        host arrays aligned with ``cand`` rows."""
+        best = None
+        for b, (_, j) in enumerate(cand):
+            if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
+                continue
+            if best is None or errs[b] < errs[best[0]]:
+                best = (b, j)
+        if best is None:
+            return False
+        b, j = best
+        self._active_kf = j
+        self._keyframe = self._kf_frames[j]
+        self._kf_valid_count = self._valid_count(self._keyframe)
+        self._rel_to_kf = np.linalg.inv(transforms[b])
+        self._last_inc = np.eye(4)
+        self.relocalizations.append((self._frame_idx, j))
+        return True
+
     def _relocalize(self, fd: FrameData) -> bool:
         """Appearance-based recovery after sustained tracking loss.
 
@@ -322,21 +365,8 @@ class SlamSession:
         shape as loop verification, so the compiled program is shared),
         and re-anchors tracking at the best verified keyframe.
         """
-        js = [
-            j
-            for j in range(len(self._kf_frames))
-            if self._kf_frames[j] is not None
-        ]
-        if not js:
-            return False
         desc = np.asarray(_frame_descriptor(fd.gray[-1]))
-        sims = np.stack([self._kf_desc[j] for j in js]) @ desc
-        order = np.argsort(-sims)
-        cand = [
-            (float(sims[l]), js[l])
-            for l in order
-            if sims[l] >= self.policy.relocalize_min_similarity
-        ][: self.policy.loop_max_candidates]
+        cand = self._reloc_candidates(desc)
         if not cand:
             return False
         from dense_visual_odometry_tpu.parallel.batched import (
@@ -356,22 +386,7 @@ class SlamSession:
         success = np.asarray(result.success)
         errs = np.asarray(result.diagnostics.error[-1], np.float64)
         transforms = np.asarray(result.transform, np.float64)
-        best = None
-        for b, (_, j) in enumerate(cand):
-            if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
-                continue
-            if best is None or errs[b] < errs[best[0]]:
-                best = (b, j)
-        if best is None:
-            return False
-        b, j = best
-        self._active_kf = j
-        self._keyframe = self._kf_frames[j]
-        self._kf_valid_count = self._valid_count(self._keyframe)
-        self._rel_to_kf = np.linalg.inv(transforms[b])
-        self._last_inc = np.eye(4)
-        self.relocalizations.append((self._frame_idx, j))
-        return True
+        return self._reloc_apply(cand, success, errs, transforms)
 
     def _optimize_window(self):
         """Windowed BA with STATIC shapes: poses padded to the window
@@ -484,14 +499,17 @@ class SlamSession:
             self._last_inc @ np.linalg.inv(self._rel_to_kf)
         ).astype(np.float32)
 
-    def apply_step(self, fd_thunk, pack: np.ndarray) -> Pose:
+    def apply_step(self, fd_thunk, pack: np.ndarray, reloc_thunk=None) -> Pose:
         """Host-side policy half of :meth:`step`.
 
         ``fd_thunk`` lazily yields the frame's device ``FrameData`` —
         only materialized on promotion / relocalization, so batched
         callers (``BatchedSlamSession``) pay a per-stream device slice
         only on those rare events; ``pack`` is the ``_PK_*`` scalar
-        vector already on host.
+        vector already on host.  ``reloc_thunk`` (optional, () -> bool)
+        replaces the built-in per-stream relocalization attempt — batched
+        callers pass one that applies pre-grouped verification results so
+        many lost streams share a single device call.
         """
         fd_cache = []
 
@@ -518,7 +536,10 @@ class SlamSession:
             if (
                 self.policy.relocalize
                 and self._lost_count > self.policy.relocalize_after
-                and self._relocalize(fd())
+                and (
+                    reloc_thunk() if reloc_thunk is not None
+                    else self._relocalize(fd())
+                )
             ):
                 self._lost_count = 0
         world = self.keyframe_poses[self._active_kf] @ self._rel_to_kf

@@ -108,6 +108,48 @@ def test_matches_single_stream(cfg):
     assert batched.sessions[0].num_keyframes >= 2
 
 
+def test_two_step_matches_single_stream(cfg):
+    """Two-step tracking at B=8 (round-4 VERDICT weak #4): the batched
+    previous-frame tree must reproduce each stream's single-stream
+    two-step trajectory exactly (element-independent solves)."""
+    camera = CameraModel.create(K, 1.0 / 5000.0)
+    policy = KeyframePolicy(
+        max_translation=0.012, max_rotation=0.01, window=4,
+        loop_closure=False, two_step_tracking=True,
+    )
+    n_streams = 8
+    seqs = [_sequence(seed, n=5) for seed in range(n_streams)]
+
+    batched = BatchedSlamSession(
+        camera, cfg, n_streams=n_streams, policy=policy
+    )
+    for i in range(len(seqs[0])):
+        batched.step(
+            [s[i][0] for s in seqs], [s[i][1] for s in seqs]
+        )
+
+    for b, seq in enumerate(seqs):
+        single = SlamSession(camera, cfg, policy=policy)
+        for rgb, depth in seq:
+            single.step(rgb, depth)
+        assert (
+            batched.sessions[b].num_keyframes == single.num_keyframes
+        ), f"stream {b}: keyframe policy diverged under two-step"
+        np.testing.assert_allclose(
+            np.stack(batched.sessions[b].frame_poses),
+            np.stack(single.frame_poses),
+            atol=1e-5,
+            err_msg=f"stream {b} two-step trajectory diverged",
+        )
+    # Two-step must actually track (non-trivial motion recovered).
+    assert batched.sessions[0].num_keyframes >= 2
+    assert not np.allclose(
+        np.stack(batched.sessions[0].frame_poses),
+        np.stack(batched.sessions[1].frame_poses),
+        atol=1e-5,
+    )
+
+
 def test_promotion_updates_batched_keyframe_state(cfg):
     """After a stream promotes, subsequent tracking must run against the
     NEW keyframe (a stale stacked tree would drift within a few frames)."""
