@@ -55,6 +55,18 @@ def parse_args(argv=None):
                    help="track-model: render the model prediction EVERY "
                         "frame (KinectFusion loop, marching raycast) "
                         "instead of keyframe-held renders")
+    p.add_argument("--track-brick", action="store_true",
+                   help="track-model: brick-grid sparse tracking volume "
+                        "(surface-band bricks only) — lifts the dense "
+                        "O(N^3) resolution ceiling; --track-resolution "
+                        "becomes the VIRTUAL resolution")
+    p.add_argument("--track-pool", type=int, default=16384,
+                   help="--track-brick: brick pool capacity")
+    p.add_argument("--brick", action="store_true",
+                   help="fuse/export with the brick-grid sparse volume "
+                        "(models/brick_tsdf.py) instead of the dense one")
+    p.add_argument("--pool", type=int, default=32768,
+                   help="--brick: brick pool capacity")
     p.add_argument("--trajectory", type=str, default=None,
                    help="report JSON or TUM txt with poses (skips tracking)")
     p.add_argument("--size", type=int, default=None, help="frame limit")
@@ -114,10 +126,22 @@ def _track_poses(seq, cfg, method: str, args=None) -> np.ndarray:
         extent = args.track_volume_extent if args else 8.0
         res = args.track_resolution if args else 192
         center = (0.0, 0.0, z_med)
-        tcfg = TSDFConfig.around(
-            center, extent, resolution=res,
-            truncation=4.0 * extent / res,
-        )
+        if args and getattr(args, "track_brick", False):
+            from dense_visual_odometry_tpu.models.brick_tsdf import (
+                BrickTSDFConfig,
+            )
+
+            res -= res % 8  # virtual resolution: brick multiple
+            tcfg = BrickTSDFConfig.around(
+                center, extent, resolution=res,
+                truncation=4.0 * extent / res,
+                pool_size=int(args.track_pool),
+            )
+        else:
+            tcfg = TSDFConfig.around(
+                center, extent, resolution=res,
+                truncation=4.0 * extent / res,
+            )
         kinfu = bool(args and getattr(args, "track_kinfu", False))
         policy = ModelTrackerPolicy(
             render_every_frame=kinfu,
@@ -130,6 +154,12 @@ def _track_poses(seq, cfg, method: str, args=None) -> np.ndarray:
             "track-model: %d virtual-keyframe renders, %d failed solves",
             tracker.renders, tracker.failures,
         )
+        if hasattr(tracker.volume, "n_used"):
+            logger.info(
+                "tracking brick volume: %d / %d bricks used, %d dropped",
+                int(tracker.volume.n_used), tcfg.pool_size,
+                int(tracker.volume.n_dropped),
+            )
         return tracker.trajectory()
 
     if method == "slam":
@@ -231,32 +261,77 @@ def main(argv=None) -> int:
         voxel = args.voxel
     else:
         voxel = float(extent.max()) / args.resolution
+    cap = 1024 if args.brick else 512  # sparse pool lifts the axis cap
     dims = tuple(
-        int(min(max(np.ceil(e / voxel), 8), 512)) for e in extent[::-1]
+        int(min(max(np.ceil(e / voxel), 8), cap)) for e in extent[::-1]
     )  # (D, H, W) = (z, y, x)
     trunc = args.truncation if args.truncation is not None else 4.0 * voxel
-    vcfg = tsdf.TSDFConfig(
-        dims=dims, voxel_size=voxel, origin=tuple(lo), truncation=trunc,
-        truncation_scale_sq=args.adaptive_truncation,
-        carve_decay=args.carve,
-    )
-    logger.info(
-        "volume %s voxel %.4f m bounds %s -> %s (%.0f MVox)",
-        dims, voxel, np.round(lo, 3), np.round(hi, 3),
-        np.prod(dims) / 1e6,
-    )
+    if args.brick:
+        from dense_visual_odometry_tpu.models import brick_tsdf
 
-    t0 = time.perf_counter()
-    vol = tsdf.integrate_frames(tsdf.make_volume(vcfg), frames, k, poses_f, vcfg)
-    np.asarray(vol.weight)  # force completion (tunneled backends)
-    t_fuse = time.perf_counter() - t0
-    logger.info(
-        "fused %d frames in %.2f s (%.1f ms/frame)",
-        len(frames), t_fuse, t_fuse / max(len(frames), 1) * 1e3,
-    )
+        vcfg = brick_tsdf.BrickTSDFConfig(
+            brick_grid=tuple(-(-d // 8) for d in dims),
+            brick_size=8, pool_size=int(args.pool),
+            voxel_size=voxel, origin=tuple(lo), truncation=trunc,
+            truncation_scale_sq=args.adaptive_truncation,
+            carve_decay=args.carve,
+        )
+        logger.info(
+            "brick volume %s (virtual) voxel %.4f m bounds %s -> %s "
+            "(pool %d bricks = %.0f MVox cap)",
+            vcfg.dims, voxel, np.round(lo, 3), np.round(hi, 3),
+            args.pool, args.pool * 512 / 1e6,
+        )
+        t0 = time.perf_counter()
+        vol = brick_tsdf.make_brick_volume(vcfg)
+        kj = np.asarray(k, np.float32)
+        import jax.numpy as jnp_
 
-    t0 = time.perf_counter()
-    verts, faces, gray_v = tsdf.extract_mesh(vol, vcfg, min_weight=args.min_weight)
+        for (depth_m, gray), pose in zip(frames, poses_f):
+            vol = brick_tsdf.integrate_brick(
+                vol, jnp_.asarray(depth_m, jnp_.float32),
+                jnp_.asarray(gray, jnp_.float32), jnp_.asarray(kj),
+                jnp_.asarray(pose, jnp_.float32), vcfg,
+            )
+        np.asarray(vol.weight)  # force completion (tunneled backends)
+        t_fuse = time.perf_counter() - t0
+        logger.info(
+            "fused %d frames in %.2f s (%.1f ms/frame); %d/%d bricks, "
+            "%d dropped",
+            len(frames), t_fuse, t_fuse / max(len(frames), 1) * 1e3,
+            int(vol.n_used), args.pool, int(vol.n_dropped),
+        )
+        t0 = time.perf_counter()
+        verts, faces, gray_v = brick_tsdf.extract_mesh_bricks(
+            vol, vcfg, min_weight=args.min_weight
+        )
+    else:
+        vcfg = tsdf.TSDFConfig(
+            dims=dims, voxel_size=voxel, origin=tuple(lo), truncation=trunc,
+            truncation_scale_sq=args.adaptive_truncation,
+            carve_decay=args.carve,
+        )
+        logger.info(
+            "volume %s voxel %.4f m bounds %s -> %s (%.0f MVox)",
+            dims, voxel, np.round(lo, 3), np.round(hi, 3),
+            np.prod(dims) / 1e6,
+        )
+
+        t0 = time.perf_counter()
+        vol = tsdf.integrate_frames(
+            tsdf.make_volume(vcfg), frames, k, poses_f, vcfg
+        )
+        np.asarray(vol.weight)  # force completion (tunneled backends)
+        t_fuse = time.perf_counter() - t0
+        logger.info(
+            "fused %d frames in %.2f s (%.1f ms/frame)",
+            len(frames), t_fuse, t_fuse / max(len(frames), 1) * 1e3,
+        )
+
+        t0 = time.perf_counter()
+        verts, faces, gray_v = tsdf.extract_mesh(
+            vol, vcfg, min_weight=args.min_weight
+        )
     logger.info(
         "extracted %d vertices / %d faces in %.2f s",
         len(verts), len(faces), time.perf_counter() - t0,

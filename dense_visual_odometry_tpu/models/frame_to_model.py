@@ -36,6 +36,12 @@ from dense_visual_odometry_tpu.models.robust import (
     preprocess_frame,
     track_pair,
 )
+from dense_visual_odometry_tpu.models.brick_tsdf import (
+    BrickTSDFConfig,
+    _integrate_impl as _brick_integrate,
+    _raycast_march_impl as _brick_march,
+    make_brick_volume,
+)
 from dense_visual_odometry_tpu.models.slam import _preprocess
 from dense_visual_odometry_tpu.models.tsdf import (
     TSDFConfig,
@@ -44,6 +50,39 @@ from dense_visual_odometry_tpu.models.tsdf import (
     make_volume,
     raycast_view,
     raycast_view_march,
+)
+
+
+def _vol_integrate(volume, depth_m, gray, intrinsics, pose, tsdf_cfg):
+    """Config-type dispatch (static under jit): dense or brick fusion."""
+    if isinstance(tsdf_cfg, BrickTSDFConfig):
+        return _brick_integrate(
+            volume, depth_m, gray, intrinsics, pose, tsdf_cfg
+        )
+    return integrate(volume, depth_m, gray, intrinsics, pose, tsdf_cfg)
+
+
+def _vol_render(
+    volume, intrinsics, pose, tsdf_cfg, shape, min_weight, max_depth, raycast
+):
+    """Config-type dispatch for the virtual-view renderer.  The brick
+    volume ships the marching renderer only (the splat would have to
+    project every pool voxel; marching is the shipped frame-to-model
+    quality path anyway — tsdf.raycast_view_march docstring)."""
+    if isinstance(tsdf_cfg, BrickTSDFConfig):
+        return _brick_march(
+            volume, intrinsics, pose, tsdf_cfg, shape,
+            min_weight=min_weight, max_depth=max_depth,
+        )
+    render = raycast_view if raycast == "splat" else raycast_view_march
+    return render(
+        volume, intrinsics, pose, tsdf_cfg, shape,
+        min_weight=min_weight, max_depth=max_depth,
+    )
+
+
+_integrate_any = jax.jit(
+    _vol_integrate, static_argnames=("tsdf_cfg",), donate_argnums=(0,)
 )
 from dense_visual_odometry_tpu.ops import pyramid as pyr_ops
 from dense_visual_odometry_tpu.utils.lie import Pose, se3
@@ -96,10 +135,9 @@ def _render_keyframe(
 ) -> FrameData:
     """Raycast the volume into a virtual keyframe's pyramids (one
     program: render + pyramid build, nothing pixel-sized leaves)."""
-    render = raycast_view if raycast == "splat" else raycast_view_march
-    depth, gray = render(
-        volume, intrinsics, pose, tsdf_cfg, shape,
-        min_weight=min_weight, max_depth=max_depth,
+    depth, gray = _vol_render(
+        volume, intrinsics, pose, tsdf_cfg, shape, min_weight, max_depth,
+        raycast,
     )
     return FrameData(
         gray=pyr_ops.build_pyramid(gray, cfg.levels),
@@ -158,10 +196,9 @@ def _kinfu_step(
     ``(volume', pack)`` with pack = [transform 16 | success 1 |
     world 16 | valid_px 1].
     """
-    render = raycast_view if raycast == "splat" else raycast_view_march
-    depth_r, gray_r = render(
-        volume, intrinsics, pose_prev, tsdf_cfg, shape,
-        min_weight=min_weight, max_depth=max_depth,
+    depth_r, gray_r = _vol_render(
+        volume, intrinsics, pose_prev, tsdf_cfg, shape, min_weight,
+        max_depth, raycast,
     )
     kf = FrameData(
         gray=pyr_ops.build_pyramid(gray_r, cfg.levels),
@@ -179,7 +216,7 @@ def _kinfu_step(
     )
     rel = se3.inverse(result.transform)
     world = jnp.where(result.success, pose_prev @ rel, pose_prev)
-    fused = integrate(
+    fused = _vol_integrate(
         volume, fd.depth_m[0], fd.gray[0], intrinsics,
         world.astype(jnp.float32), tsdf_cfg,
     )
@@ -218,7 +255,11 @@ class FrameToModelTracker:
         self.policy = policy or ModelTrackerPolicy()
         self.every = every
         self._intrinsics = jnp.asarray(camera.intrinsics, jnp.float32)
-        self.volume = make_volume(self.tsdf_config)
+        self.volume = (
+            make_brick_volume(self.tsdf_config)
+            if isinstance(self.tsdf_config, BrickTSDFConfig)
+            else make_volume(self.tsdf_config)
+        )
         self._keyframe: Optional[FrameData] = None
         self._kf_pose = np.eye(4)
         self._rel_to_kf = np.eye(4)
@@ -230,7 +271,7 @@ class FrameToModelTracker:
         self._shape: Optional[tuple] = None
 
     def _integrate(self, fd: FrameData, world: np.ndarray) -> None:
-        self.volume = integrate(
+        self.volume = _integrate_any(
             self.volume, fd.depth_m[0], fd.gray[0], self._intrinsics,
             jnp.asarray(world, jnp.float32), self.tsdf_config,
         )
