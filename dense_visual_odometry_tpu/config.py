@@ -257,6 +257,20 @@ class RobustDVOConfig:
     # from crossing into a neighbor's window (block_layout,
     # ops/pallas/stackwarp.py).  None/1 = single global center.
     recenter_blocks: Optional[int] = None
+    # Per-TILE recentering (level-kernel path only): additionally split
+    # the grid COLUMNS into this many blocks, giving each
+    # (row-block, col-block) TILE its own integer window center.  A
+    # rotation's displacement field varies in BOTH axes; row blocks
+    # absorb only the vertical component, tiles absorb the local mean in
+    # full — over a 32-px tile a keyframe-class rotation's residual
+    # spread is ~theta*32 px, inside a radius-3 ball, which keeps SLAM
+    # frame-to-keyframe solves on the level-fused kernel instead of the
+    # gather fallback (the measured SLAM latency floor, round-4
+    # attribution in benchmarks/RESULTS.md).  Per-pixel tensors move to
+    # a 2-D tile mosaic with halo rows AND columns
+    # (ops/pallas/stackwarp.tile_layout).  Requires ``recenter_blocks``
+    # (the row-block count).  None/1 = row blocks or global center.
+    recenter_col_blocks: Optional[int] = None
     # Anisotropic shift ball (block path only): vertical tap radius,
     # defaulting to ``shift_stack_radius``.  With per-block VERTICAL
     # recentering the row-structured displacement component (rotation,
@@ -393,6 +407,30 @@ class RobustDVOConfig:
                         "recenter_blocks is incompatible with "
                         "use_esm_gradients (the ESM warped image assumes "
                         "a single frozen window center)"
+                    )
+        if self.recenter_col_blocks is not None:
+            if self.recenter_col_blocks < 1:
+                raise ValueError(
+                    "recenter_col_blocks must be >= 1 or None"
+                )
+            if self.recenter_col_blocks > 1:
+                if self.recenter_blocks is None:
+                    raise ValueError(
+                        "recenter_col_blocks requires recenter_blocks "
+                        "(the row-block count of the tile grid; 1 is "
+                        "a valid row count)"
+                    )
+                if not self.use_level_kernel:
+                    raise ValueError(
+                        "recenter_col_blocks > 1 requires "
+                        "use_level_kernel (per-tile centers are a "
+                        "level-solver feature)"
+                    )
+                if self.use_esm_gradients:
+                    raise ValueError(
+                        "recenter_col_blocks is incompatible with "
+                        "use_esm_gradients (the ESM warped image "
+                        "assumes a single frozen window center)"
                     )
         if self.shift_stack_radius_y is not None:
             if self.recenter_blocks is None or self.recenter_blocks < 2:

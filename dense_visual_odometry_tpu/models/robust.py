@@ -700,7 +700,25 @@ def _solve_level(
             cfg.shift_stack_radius if cfg.shift_stack_radius is not None
             else 4
         )
-        if use_blocks:
+        if use_tiles:
+            # Judge the path that will actually run: per-tile centers
+            # keep strictly more pixels than row blocks or a global
+            # center (round-4 VERDICT task 1 — this is what keeps SLAM
+            # keyframe solves off the gather fallback).
+            from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+                shift_coverage_tiles,
+            )
+
+            cov = shift_coverage_tiles(
+                u, v, radius, stride, cfg.recenter_blocks,
+                cfg.recenter_col_blocks, coord_mask=valid_geom,
+                radius_y=(
+                    cfg.shift_stack_radius_y
+                    if cfg.shift_stack_radius_y is not None
+                    else radius
+                ),
+            )
+        elif use_blocks:
             # Judge the path that will actually run: per-block centers
             # keep strictly more pixels than a single global center.
             from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
@@ -776,8 +794,23 @@ def _solve_level(
     # block of grid rows gets its own integer window center, shrinking
     # the displacement spread the shift ball must cover (ROADMAP item 1;
     # ops/pallas/stackwarp.block_layout).
+    # Per-TILE recentering (2-D: row x col blocks) subsumes the row-only
+    # path when ``recenter_col_blocks`` is set — each tile absorbs its
+    # local mean displacement, keeping keyframe-class rotations inside
+    # the shift ball (round-4 VERDICT task 1).
+    use_tiles = (
+        cfg.recenter_col_blocks is not None
+        and cfg.recenter_col_blocks > 1
+        and cfg.recenter_blocks is not None
+        and use_fused
+        and cfg.freeze_shift_window
+        and cfg.use_level_kernel
+        and cfg.lm_lambda0 is not None
+        and not use_esm
+    )
     use_blocks = (
-        cfg.recenter_blocks is not None
+        not use_tiles
+        and cfg.recenter_blocks is not None
         and cfg.recenter_blocks > 1
         and use_fused
         and cfg.freeze_shift_window
@@ -785,7 +818,56 @@ def _solve_level(
         and cfg.lm_lambda0 is not None
         and not use_esm
     )
-    if use_blocks:
+    if use_tiles:
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            compute_recenter_tiles,
+            extract_parity_planes_tiles,
+        )
+        from dense_visual_odometry_tpu.ops.residuals import _warp_geometry
+
+        _, u0, v0, vg0 = _warp_geometry(
+            depth_prev_m, intrinsics, estimate0, stride
+        )
+        radius0 = cfg.shift_stack_radius
+        radius0_y = (
+            cfg.shift_stack_radius_y
+            if cfg.shift_stack_radius_y is not None
+            else radius0
+        )
+        nby0 = cfg.recenter_blocks
+        nbx0 = cfg.recenter_col_blocks
+        cu0, cv0 = compute_recenter_tiles(
+            u0, v0, radius0, stride, nby0, nbx0, vg0, radius_y=radius0_y,
+        )
+        hp0, wp0 = u0.shape[-2], u0.shape[-1]
+        tshape = cu0.shape[-2:]
+
+        def _extract_tiles(img):
+            if batch_shape:
+                iflat = img.reshape((-1,) + img.shape[-2:])
+                pl0 = extract_parity_planes_tiles(
+                    iflat,
+                    jnp.broadcast_to(cu0, batch_shape + tshape).reshape(
+                        (-1,) + tshape
+                    ),
+                    jnp.broadcast_to(cv0, batch_shape + tshape).reshape(
+                        (-1,) + tshape
+                    ),
+                    hp0, wp0, radius0, stride, nby0, nbx0,
+                    radius_y=radius0_y,
+                )
+                return pl0.reshape(batch_shape + pl0.shape[1:])
+            return extract_parity_planes_tiles(
+                img[None], cu0[None], cv0[None],
+                hp0, wp0, radius0, stride, nby0, nbx0,
+                radius_y=radius0_y,
+            )[0]
+
+        planes0 = _extract_tiles(gray_curr)
+        frozen_win_blocks = (planes0, cu0, cv0)
+        if cfg.use_depth_residuals and depth_curr_m is not None:
+            frozen_depth_planes = _extract_tiles(depth_curr_m)
+    elif use_blocks:
         from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
             compute_recenter_blocks,
             extract_parity_planes_blocks,
@@ -973,7 +1055,7 @@ def _solve_level(
         )
 
         lk_planes, lk_cu, lk_cv = (
-            frozen_win_blocks if use_blocks else frozen_win
+            frozen_win_blocks if (use_blocks or use_tiles) else frozen_win
         )
         wlam_init = jnp.full(
             batch_shape, 1.0 / (cfg.weighter.initial_sigma**2), jnp.float32
@@ -1002,7 +1084,14 @@ def _solve_level(
                 lm_down=cfg.lm_down,
                 lm_lambda_max=cfg.lm_lambda_max,
                 max_iterations=cfg.max_iterations_for_level(level),
-                n_blocks=cfg.recenter_blocks if use_blocks else 1,
+                n_blocks=(
+                    cfg.recenter_blocks
+                    if (use_blocks or use_tiles)
+                    else 1
+                ),
+                n_blocks_x=(
+                    cfg.recenter_col_blocks if use_tiles else 1
+                ),
                 sigma=cfg.sigma,
                 reference_prior_energy=cfg.reference_prior_energy,
                 illum_bias=cfg.illumination == "bias",
@@ -1014,7 +1103,8 @@ def _solve_level(
                 depth_huber_delta=cfg.depth_huber_delta,
                 radius_y=(
                     cfg.shift_stack_radius_y
-                    if use_blocks and cfg.shift_stack_radius_y is not None
+                    if (use_blocks or use_tiles)
+                    and cfg.shift_stack_radius_y is not None
                     else cfg.shift_stack_radius
                 ),
             )

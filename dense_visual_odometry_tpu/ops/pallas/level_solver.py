@@ -291,6 +291,10 @@ def _level_kernel(
     use_depth: bool = False,
     depth_weight: float = 1.0,
     depth_huber_delta: float = 0.03,
+    n_blocks_x: int = 1,
+    block_cols: int = 0,
+    halo_x: int = 0,
+    grid_wp: int = 0,
 ):
     fmax = float(jnp.finfo(jnp.float32).max)
     use_prior = sigma is not None
@@ -322,7 +326,68 @@ def _level_kernel(
         row_f = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0).astype(
             jnp.float32
         )
-        if n_blocks > 1:
+        if n_blocks_x > 1:
+            # 2-D TILE layout (round-4 VERDICT task 1): mosaic of
+            # (t_y + halo_y, t_x + halo_x) tiles, each with its own
+            # integer center in SMEM.  The per-pixel center maps are
+            # built once per invocation from row/col step indicators via
+            # the 2-D finite-difference expansion
+            #   c(row, col) = sum_{k,l} D2[k,l] * [row >= k*slab_h]
+            #                                   * [col >= l*slab_w]
+            # (nby + nbx compares, nby*nbx plane FMAs — negligible next
+            # to one tap sweep).
+            slab_h = float(block_rows + halo)
+            slab_w = float(block_cols + halo_x)
+            nt = n_blocks * n_blocks_x
+
+            def cval(base, k, l):
+                if k < 0 or l < 0:
+                    return 0.0
+                return scal_ref[bi, base + k * n_blocks_x + l]
+
+            ones = jnp.ones((hp, wp), jnp.float32)
+            masks_y = [ones] + [
+                (row_f >= k * slab_h).astype(jnp.float32)
+                for k in range(1, n_blocks)
+            ]
+            masks_x = [ones] + [
+                (col_f >= l * slab_w).astype(jnp.float32)
+                for l in range(1, n_blocks_x)
+            ]
+            cu_row = jnp.zeros((hp, wp), jnp.float32)
+            cv_row = jnp.zeros((hp, wp), jnp.float32)
+            for k in range(n_blocks):
+                my = masks_y[k]
+                for l in range(n_blocks_x):
+                    d2u = (
+                        cval(40, k, l) - cval(40, k - 1, l)
+                        - cval(40, k, l - 1) + cval(40, k - 1, l - 1)
+                    )
+                    d2v = (
+                        cval(40 + nt, k, l) - cval(40 + nt, k - 1, l)
+                        - cval(40 + nt, k, l - 1)
+                        + cval(40 + nt, k - 1, l - 1)
+                    )
+                    p = my if l == 0 else my * masks_x[l]
+                    cu_row = cu_row + d2u * p
+                    cv_row = cv_row + d2v * p
+            blk_y = jnp.zeros((hp, wp), jnp.float32)
+            for k in range(1, n_blocks):
+                blk_y = blk_y + masks_y[k]
+            blk_x = jnp.zeros((hp, wp), jnp.float32)
+            for l in range(1, n_blocks_x):
+                blk_x = blk_x + masks_x[l]
+            grid_row = row_f - blk_y * float(halo)
+            grid_col = col_f - blk_x * float(halo_x)
+            interior = (
+                ((row_f - blk_y * slab_h) < float(block_rows))
+                & (grid_row < float(grid_hp))
+                & ((col_f - blk_x * slab_w) < float(block_cols))
+                & (grid_col < float(grid_wp))
+            )
+            coli = grid_col * float(stride) + cu_row
+            rowi = grid_row * float(stride) + cv_row
+        elif n_blocks > 1:
             # Slab layout: row j belongs to block k = j // (t + halo);
             # its grid row is j - k*halo (halo rows duplicate the next
             # block's first grid rows and are masked out below).  The
@@ -670,6 +735,7 @@ def _level_kernel(
         "max_iterations", "interpret", "n_blocks", "block_rows", "halo",
         "grid_hp", "sigma", "reference_prior_energy", "illum_bias",
         "depth_weight", "depth_huber_delta",
+        "n_blocks_x", "block_cols", "halo_x", "grid_wp",
     ),
 )
 def lm_level_pallas(
@@ -705,6 +771,10 @@ def lm_level_pallas(
     zgrad_planes: jnp.ndarray | None = None,
     depth_weight: float = 1.0,
     depth_huber_delta: float = 0.03,
+    n_blocks_x: int = 1,
+    block_cols: int = 0,
+    halo_x: int = 0,
+    grid_wp: int = 0,
 ) -> jnp.ndarray:
     """Run the level-fused LM solver over a (B,)-grid.
 
@@ -734,6 +804,8 @@ def lm_level_pallas(
         illum_bias=illum_bias,
         use_depth=use_depth, depth_weight=depth_weight,
         depth_huber_delta=depth_huber_delta,
+        n_blocks_x=n_blocks_x, block_cols=block_cols, halo_x=halo_x,
+        grid_wp=grid_wp,
     )
     in_cols = scal.shape[-1]
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
@@ -835,6 +907,7 @@ def solve_level_fused(
     zgrad: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
     depth_weight: float = 1.0,
     depth_huber_delta: float = 0.03,
+    n_blocks_x: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Batch-shaped wrapper: one level solved end-to-end on-chip.
@@ -859,7 +932,48 @@ def solve_level_fused(
     batch_shape = gray_prev.shape[:-2]
     grid_hp, wp = gray_prev.shape[-2], gray_prev.shape[-1]
 
-    if n_blocks > 1:
+    if n_blocks_x > 1:
+        # 2-D tile path: per-pixel tensors into tile-mosaic layout; the
+        # mosaic row/col -> grid coordinate maps feed the deprojection.
+        from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
+            tile_layout,
+            tile_stack,
+        )
+
+        grid_wp0 = wp
+        nblk, t_rows, halo, nbx, t_cols, halo_x = tile_layout(
+            grid_hp, wp, n_blocks, n_blocks_x, radius, radius_y,
+            grid_stride,
+        )
+
+        def _tstack(x):
+            return tile_stack(
+                x, grid_hp, grid_wp0, n_blocks, n_blocks_x, radius,
+                radius_y, grid_stride,
+            )
+
+        gray_prev = _tstack(gray_prev)
+        depth_prev_m = _tstack(depth_prev_m)
+        jac_planes = _tstack(jac_planes)
+        if zgrad is not None:
+            zgrad = tuple(_tstack(g) for g in zgrad)
+        import numpy as _np
+
+        rows = _np.concatenate(
+            [
+                _np.arange(k * t_rows, k * t_rows + t_rows + halo)
+                for k in range(nblk)
+            ]
+        )
+        vgrid_rows = jnp.asarray(rows, jnp.float32) * grid_stride
+        cols = _np.concatenate(
+            [
+                _np.arange(l * t_cols, l * t_cols + t_cols + halo_x)
+                for l in range(nbx)
+            ]
+        )
+        ugrid_cols = jnp.asarray(cols, jnp.float32) * grid_stride
+    elif n_blocks > 1:
         from dense_visual_odometry_tpu.ops.pallas.stackwarp import (
             block_layout,
             slab_stack,
@@ -896,7 +1010,11 @@ def solve_level_fused(
     else:
         nblk, t_rows, halo = 1, 0, 0
         vgrid_rows = None
+    if n_blocks_x <= 1:
+        nbx, t_cols, halo_x, grid_wp0 = 1, 0, 0, wp
+        ugrid_cols = None
     hp = gray_prev.shape[-2]
+    wp = gray_prev.shape[-1]  # mosaic width under the tile path
 
     flat = lambda x: x.reshape((-1,) + x.shape[len(batch_shape):])  # noqa: E731
     gray_f = flat(gray_prev.astype(jnp.float32))
@@ -924,7 +1042,11 @@ def solve_level_fused(
     # semantics, ops/residuals.py), with NaN poisoning invalid depth so
     # every in-kernel validity comparison fails there.
     kinv = jnp.linalg.inv(kflat)
-    ugrid = jnp.arange(wp, dtype=jnp.float32) * grid_stride
+    ugrid = (
+        jnp.arange(wp, dtype=jnp.float32) * grid_stride
+        if ugrid_cols is None
+        else ugrid_cols
+    )
     vgrid = (
         jnp.arange(hp, dtype=jnp.float32) * grid_stride
         if vgrid_rows is None
@@ -949,7 +1071,11 @@ def solve_level_fused(
         axis=1,
     )
 
-    in_cols = _IN_COLS + (2 * nblk if nblk > 1 else 0)
+    nt = nblk * nbx
+    if nbx > 1:
+        in_cols = _IN_COLS + 2 * nt
+    else:
+        in_cols = _IN_COLS + (2 * nblk if nblk > 1 else 0)
     scal = jnp.zeros((b, in_cols), jnp.float32)
     scal = scal.at[:, 0:16].set(est_f.reshape(b, 16))
     scal = scal.at[:, 16:32].set(anc_f.reshape(b, 16))
@@ -960,7 +1086,18 @@ def solve_level_fused(
     scal = scal.at[:, 34].set(kflat[:, 1, 1])
     scal = scal.at[:, 35].set(kflat[:, 0, 2])
     scal = scal.at[:, 36].set(kflat[:, 1, 2])
-    if nblk > 1:
+    if nbx > 1:
+        cu_f = jnp.broadcast_to(
+            cu, batch_shape + (nblk, nbx)
+        ).reshape(-1, nt)
+        cv_f = jnp.broadcast_to(
+            cv, batch_shape + (nblk, nbx)
+        ).reshape(-1, nt)
+        scal = scal.at[:, 40:40 + nt].set(cu_f.astype(jnp.float32))
+        scal = scal.at[:, 40 + nt:40 + 2 * nt].set(
+            cv_f.astype(jnp.float32)
+        )
+    elif nblk > 1:
         cu_f = jnp.broadcast_to(cu, batch_shape + (nblk,)).reshape(-1, nblk)
         cv_f = jnp.broadcast_to(cv, batch_shape + (nblk,)).reshape(-1, nblk)
         scal = scal.at[:, 40:40 + nblk].set(cu_f.astype(jnp.float32))
@@ -994,6 +1131,8 @@ def solve_level_fused(
         illum_bias=illum_bias,
         depth_planes=zplanes_f, zgrad_planes=zgrad_f,
         depth_weight=depth_weight, depth_huber_delta=depth_huber_delta,
+        n_blocks_x=nbx, block_cols=t_cols, halo_x=halo_x,
+        grid_wp=grid_wp0,
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)

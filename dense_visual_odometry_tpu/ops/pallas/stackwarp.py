@@ -445,6 +445,254 @@ def extract_parity_planes_blocks(
     return planes.reshape(b, s * s, nblk * slab_h, pw)
 
 
+def tile_layout(
+    grid_hp: int,
+    grid_wp: int,
+    n_blocks_y: int,
+    n_blocks_x: int,
+    radius: int,
+    radius_y: int,
+    grid_stride: int,
+) -> Tuple[int, int, int, int, int, int]:
+    """2-D tile-layout geometry for per-TILE recentering.
+
+    Round-4 VERDICT task 1: per-row-block centers only shrink VERTICAL
+    displacement spread, but a rotation's displacement field varies in
+    both axes — over a 32-px tile the spread is ~theta * 32 px, inside a
+    radius-3 ball for the keyframe-baseline rotations that currently
+    force the gather fallback.  Tiles generalize the slab trick to both
+    dimensions: each (row-block, col-block) tile gets its OWN integer
+    center, per-pixel tensors are laid out as a mosaic of
+    ``(t_y + halo_y, t_x + halo_x)`` tiles whose halo rows/cols
+    duplicate the neighbouring tiles' first rows/cols (masked out of
+    validity) so the kernel's uniform rolls never cross into a tile
+    extracted with a different center.
+
+    -> (nby, t_y, halo_y, nbx, t_x, halo_x).
+    """
+    nby, t_y, halo_y = block_layout(grid_hp, n_blocks_y, radius_y, grid_stride)
+    nbx, t_x, halo_x = block_layout(grid_wp, n_blocks_x, radius, grid_stride)
+    return nby, t_y, halo_y, nbx, t_x, halo_x
+
+
+def _tile_means(vals, mask, nby, t_y, nbx, t_x):
+    """Masked per-tile means + global mean of (..., H', W') ``vals``."""
+    hp, wp = vals.shape[-2], vals.shape[-1]
+    pad_r = nby * t_y - hp
+    pad_c = nbx * t_x - wp
+    padspec = [(0, 0)] * (vals.ndim - 2) + [(0, pad_r), (0, pad_c)]
+    vb = jnp.pad(vals * mask, padspec).reshape(
+        vals.shape[:-2] + (nby, t_y, nbx, t_x)
+    )
+    mb = jnp.pad(mask, padspec).reshape(
+        vals.shape[:-2] + (nby, t_y, nbx, t_x)
+    )
+    count = jnp.sum(mb, axis=(-3, -1))  # (..., nby, nbx)
+    mean = jnp.sum(vb, axis=(-3, -1)) / jnp.maximum(count, 1.0)
+    gdenom = jnp.maximum(jnp.sum(count, axis=(-2, -1)), 1.0)
+    gmean = jnp.sum(vb, axis=(-4, -3, -2, -1)) / gdenom
+    return mean, count, gmean
+
+
+def compute_recenter_tiles(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int,
+    grid_stride: int,
+    n_blocks_y: int,
+    n_blocks_x: int,
+    coord_mask: jnp.ndarray | None = None,
+    radius_y: int | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tile integer recentering offsets.
+
+    u, v (..., H', W') -> cu, cv (..., nby, nbx) int32 — each tile's
+    offset the rounded masked mean displacement of its pixels (tiles
+    with fewer than 8 valid pixels inherit the global mean).  Same clip
+    convention as :func:`compute_recenter`.
+    """
+    if radius_y is None:
+        radius_y = radius
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    nby, t_y, _, nbx, t_x, _ = tile_layout(
+        hp, wp, n_blocks_y, n_blocks_x, radius, radius_y, s
+    )
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :]
+    dv = v - row[:, None]
+    mf = (
+        coord_mask.astype(jnp.float32)
+        if coord_mask is not None
+        else jnp.ones(u.shape, jnp.float32)
+    )
+    mean_du, count, gmean_du = _tile_means(du, mf, nby, t_y, nbx, t_x)
+    mean_dv, _, gmean_dv = _tile_means(dv, mf, nby, t_y, nbx, t_x)
+    enough = count >= 8.0
+    mean_du = jnp.where(enough, mean_du, gmean_du[..., None, None])
+    mean_dv = jnp.where(enough, mean_dv, gmean_dv[..., None, None])
+    center_bound = 4 * max(radius, radius_y)
+    cu = jnp.clip(
+        jnp.round(mean_du), -center_bound, center_bound
+    ).astype(jnp.int32)
+    cv = jnp.clip(
+        jnp.round(mean_dv), -center_bound, center_bound
+    ).astype(jnp.int32)
+    return cu, cv
+
+
+def shift_coverage_tiles(
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    radius: int,
+    grid_stride: int,
+    n_blocks_y: int,
+    n_blocks_x: int,
+    coord_mask: jnp.ndarray | None = None,
+    radius_y: int | None = None,
+) -> jnp.ndarray:
+    """Fraction of valid pixels kept by PER-TILE recentered shift balls
+    (the tile analogue of :func:`shift_coverage_blocks` — the fallback
+    trigger must judge the path that will actually run)."""
+    if radius_y is None:
+        radius_y = radius
+    hp, wp = u.shape[-2], u.shape[-1]
+    s = grid_stride
+    nby, t_y, _, nbx, t_x, _ = tile_layout(
+        hp, wp, n_blocks_y, n_blocks_x, radius, radius_y, s
+    )
+    cu, cv = compute_recenter_tiles(
+        u, v, radius, s, n_blocks_y, n_blocks_x, coord_mask,
+        radius_y=radius_y,
+    )
+    col = jnp.arange(wp, dtype=jnp.float32) * s
+    row = jnp.arange(hp, dtype=jnp.float32) * s
+    du = u - col[None, :]
+    dv = v - row[:, None]
+    mf = (
+        coord_mask.astype(jnp.float32)
+        if coord_mask is not None
+        else jnp.ones(u.shape, jnp.float32)
+    )
+    pad_r = nby * t_y - hp
+    pad_c = nbx * t_x - wp
+    padspec = [(0, 0)] * (u.ndim - 2) + [(0, pad_r), (0, pad_c)]
+    shape_t = u.shape[:-2] + (nby, t_y, nbx, t_x)
+    dub = jnp.pad(du, padspec).reshape(shape_t) - cu[
+        ..., :, None, :, None
+    ].astype(jnp.float32)
+    dvb = jnp.pad(dv, padspec).reshape(shape_t) - cv[
+        ..., :, None, :, None
+    ].astype(jnp.float32)
+    mb = jnp.pad(mf, padspec).reshape(shape_t)
+    in_ball = (
+        (dub > -radius) & (dub < radius)
+        & (dvb > -radius_y) & (dvb < radius_y)
+    )
+    kept = jnp.sum(in_ball.astype(jnp.float32) * mb, axis=(-4, -3, -2, -1))
+    denom = jnp.maximum(jnp.sum(mb, axis=(-4, -3, -2, -1)), 1.0)
+    return kept / denom
+
+
+def tile_stack(
+    x: jnp.ndarray,
+    grid_hp: int,
+    grid_wp: int,
+    n_blocks_y: int,
+    n_blocks_x: int,
+    radius: int,
+    radius_y: int,
+    grid_stride: int,
+) -> jnp.ndarray:
+    """Re-lay a per-pixel tensor (..., H', W') into 2-D tile-mosaic
+    layout: rows become ``nby`` slabs of ``t_y + halo_y`` rows, then
+    columns become ``nbx`` slabs of ``t_x + halo_x`` columns (static
+    slices + concats).  -> (..., nby*(t_y+halo_y), nbx*(t_x+halo_x))."""
+    nby, t_y, halo_y, nbx, t_x, halo_x = tile_layout(
+        grid_hp, grid_wp, n_blocks_y, n_blocks_x, radius, radius_y,
+        grid_stride,
+    )
+    out = slab_stack(x, grid_hp, n_blocks_y, radius_y, grid_stride)
+    # Column slabs: transpose the last two axes and reuse the row logic.
+    outt = jnp.swapaxes(out, -1, -2)
+    outt = slab_stack(outt, grid_wp, n_blocks_x, radius, grid_stride)
+    return jnp.swapaxes(outt, -1, -2)
+
+
+def extract_parity_planes_tiles(
+    image: jnp.ndarray,
+    cu: jnp.ndarray,
+    cv: jnp.ndarray,
+    grid_hp: int,
+    grid_wp: int,
+    radius: int,
+    grid_stride: int = 1,
+    n_blocks_y: int = 1,
+    n_blocks_x: int = 1,
+    radius_y: int | None = None,
+) -> jnp.ndarray:
+    """Tile-recentered window extraction + parity split (mosaic layout).
+
+    image (B, H, W), cu/cv (B, nby, nbx) int32 per-tile offsets ->
+    planes (B, s^2, nby*slab_h, nbx*slab_w) f32 where each tile's
+    sub-plane satisfies the :func:`extract_parity_planes` invariant with
+    ITS tile's center: for grid point (m, n) in tile (k, l), tap
+    (ky, kx) reads image[s*m + cv[k,l] + ky, s*n + cu[k,l] + kx] with
+    ky in [-radius_y, radius_y], kx in [-radius, radius].
+    """
+    if radius_y is None:
+        radius_y = radius
+    s = grid_stride
+    nby, t_y, halo_y, nbx, t_x, halo_x = tile_layout(
+        grid_hp, grid_wp, n_blocks_y, n_blocks_x, radius, radius_y, s
+    )
+    slab_h = t_y + halo_y
+    slab_w = t_x + halo_x
+    center_bound = 4 * max(radius, radius_y)
+    img = image.astype(jnp.float32)
+    pad_r = radius_y + center_bound
+    pad_c = radius + center_bound
+    extra_bottom = (nby * t_y - grid_hp + halo_y + 1) * s + s
+    extra_right = (nbx * t_x - grid_wp + halo_x + 1) * s + s
+    padded = jnp.pad(
+        img,
+        [(0, 0), (pad_r, pad_r + extra_bottom), (pad_c, pad_c + extra_right)],
+    )
+    win_h = slab_h * s
+    win_w = slab_w * s
+
+    def slice_one(im, sy, sx):
+        return jax.lax.dynamic_slice(
+            im, (center_bound + sy, center_bound + sx), (win_h, win_w)
+        )
+
+    base_y = (jnp.arange(nby, dtype=jnp.int32) * (t_y * s))[:, None]
+    base_x = (jnp.arange(nbx, dtype=jnp.int32) * (t_x * s))[None, :]
+    sy = cv + base_y  # (B, nby, nbx)
+    sx = cu + base_x
+    windows = jax.vmap(  # over batch
+        jax.vmap(  # over row tiles
+            jax.vmap(slice_one, in_axes=(None, 0, 0)),  # over col tiles
+            in_axes=(None, 0, 0),
+        ),
+        in_axes=(0, 0, 0),
+    )(padded, sy, sx)  # (B, nby, nbx, win_h, win_w)
+
+    planes = jnp.stack(
+        [
+            windows[..., p::s, q::s][..., :slab_h, :slab_w]
+            for p in range(s)
+            for q in range(s)
+        ],
+        axis=1,
+    )  # (B, s^2, nby, nbx, slab_h, slab_w)
+    b = planes.shape[0]
+    return planes.transpose(0, 1, 2, 4, 3, 5).reshape(
+        b, s * s, nby * slab_h, nbx * slab_w
+    )
+
+
 def prepare_shift_stack(
     image: jnp.ndarray,
     u: jnp.ndarray,

@@ -54,6 +54,27 @@ def load_small_frames(
     return frames, K, float(seq.camera.depth_scale)
 
 
+def traj_world_poses(n_frames: int) -> "np.ndarray":
+    """GT world poses of the ``traj`` source (the AR(1) twist walk),
+    reproduced from the same rng stream that generates the frames —
+    one source of truth for the trajectory-scale accuracy tests."""
+    from dense_visual_odometry_tpu.utils.lie import se3
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    vel = np.zeros(6)
+    step_mag = np.array([3e-3, 2e-3, 3.5e-3, 3e-3, 4e-3, 3.5e-3])
+    pose = np.eye(4)
+    out = [pose.copy()]
+    for _ in range(1, n_frames):
+        vel = 0.85 * vel + rng.uniform(-1.0, 1.0, 6) * step_mag
+        pose = pose @ np.asarray(
+            se3.exp(jnp.asarray(vel, jnp.float32)), np.float64
+        )
+        out.append(pose.copy())
+    return np.stack(out)
+
+
 def load_synthetic_frames(
     n_frames: int, mode: str
 ) -> Tuple[List[Tuple[np.ndarray, np.ndarray]], np.ndarray, float]:
@@ -74,6 +95,14 @@ def load_synthetic_frames(
           "exposure" - same geometry at moderate motion, plus per-frame
                        gain/bias exposure wander (+-5% / +-6 DN) the
                        reference's photometric model does not capture.
+          "traj"     - TRAJECTORY-scale sequence (round-4 VERDICT task
+                       7): smooth velocity-correlated handheld-like
+                       motion (AR(1) twist walk, the fr1-difficulty
+                       stand-in's regime scaled to this resolution),
+                       sized for ~100 frames so composed-trajectory ATE
+                       between the live reference and our
+                       reference-semantics config can be measured at
+                       the scale the 8.8 mm headline bound claims.
     """
     from dense_visual_odometry_tpu.io.synthetic import render_view
     from dense_visual_odometry_tpu.utils.lie import se3
@@ -99,6 +128,7 @@ def load_synthetic_frames(
         2 * np.pi * v / 19.0
     )
     rng = np.random.default_rng(7)
+    vel = np.zeros(6)
     if mode == "hard":
         step_mag = np.array([0.018, 0.012, 0.02, 0.02, 0.03, 0.025])
         gains = np.ones(n_frames)
@@ -109,16 +139,29 @@ def load_synthetic_frames(
         biases = rng.uniform(-6.0, 6.0, n_frames)
         gains[0] = 1.0
         biases[0] = 0.0
+    elif mode == "traj":
+        # AR(1) twist walk (vel <- 0.85 vel + noise): smooth,
+        # velocity-correlated like handheld capture; ~6-10 mm + ~0.6 deg
+        # per pair steady-state, well inside the basin, bounded so 100
+        # composed frames stay in front of the rendered surface.
+        step_mag = np.array([3e-3, 2e-3, 3.5e-3, 3e-3, 4e-3, 3.5e-3])
+        gains = np.ones(n_frames)
+        biases = np.zeros(n_frames)
     else:
         raise ValueError(mode)
+    del vel
+    traj_poses = traj_world_poses(n_frames) if mode == "traj" else None
     frames = []
     pose = np.eye(4)
     for i in range(n_frames):
         if i > 0:
-            xi = rng.uniform(-1.0, 1.0, 6) * step_mag
-            pose = pose @ np.asarray(
-                se3.exp(jnp.asarray(xi, jnp.float32)), np.float64
-            )
+            if mode == "traj":
+                pose = traj_poses[i]
+            else:
+                xi = rng.uniform(-1.0, 1.0, 6) * step_mag
+                pose = pose @ np.asarray(
+                    se3.exp(jnp.asarray(xi, jnp.float32)), np.float64
+                )
         if i == 0:
             g, d = gray, depth
         else:
@@ -243,6 +286,43 @@ CASES = [
         ),
         "exposure",
     ),
+    # TRAJECTORY scale (round-4 VERDICT task 7): ~100 frames of smooth
+    # handheld-like motion, iterations capped identically on both sides
+    # for pure-Python runtime.  Two semantics tiers:
+    #
+    # - trajectory_scale: approximate image2 gradients + IRLS — the
+    #   arithmetic-identical mode (existing 4-frame cases agree to um
+    #   with identical decisions), so the COMPOSED 100-frame gap
+    #   measures pure accumulation of solver-equivalence error.
+    # - trajectory_scale_exact: the reference-DEFAULT tier (EXACT
+    #   gradients, configs/reference_default.json — the config whose
+    #   500-frame ATE is the 8.8 mm headline bound).  Carries the
+    #   documented J_w-evaluation-point quirk (test_reference_parity.py
+    #   module docstring): near-plateau IRLS stopping decisions diverge
+    #   on some pairs, so the composed gap is millimeter-class — the
+    #   honest bound for exact mode at this 60x80 scale.
+    (
+        "trajectory_scale",
+        0,
+        100,
+        dict(
+            levels=4, use_weighter=True, max_increased_steps_allowed=0,
+            sigma=None, tolerance=1e-6, max_iterations=30,
+            approximate_image2_gradient=True,
+        ),
+        "traj",
+    ),
+    (
+        "trajectory_scale_exact",
+        0,
+        100,
+        dict(
+            levels=4, use_weighter=True, max_increased_steps_allowed=0,
+            sigma=None, tolerance=1e-6, max_iterations=30,
+            approximate_image2_gradient=False,
+        ),
+        "traj",
+    ),
 ]
 
 
@@ -363,7 +443,11 @@ def main(argv=None):
 
     jax.config.update("jax_platforms", "cpu")
 
-    goldens = {}
+    # Merge into the committed file so ``--cases X --write`` regenerates
+    # one case without dropping the others.
+    goldens = (
+        json.loads(GOLDENS_PATH.read_text()) if GOLDENS_PATH.exists() else {}
+    )
     for name, down, n_frames, case_cfg, source in CASES:
         if args.cases and name not in args.cases:
             continue
