@@ -88,6 +88,26 @@ VARIANTS["two_step_tight"] = dict(_fast, illumination="bias")
 _slam = _json.loads((REPO / "configs" / "tpu_slam.json").read_text())
 VARIANTS["slam_allkernel"] = dict(_slam, shift_stack_levels=[0, 1, 2, 3])
 VARIANTS["two_step_tight_caps8-6-4-3"] = dict(_fast, illumination="bias")
+# Round-5: 2-D TILE recentering (recenter_col_blocks) — each tile absorbs
+# its local mean displacement, so keyframe-baseline warps stay inside the
+# radius-3 ball and frame-to-keyframe solves ride the level-fused kernel.
+# The rotation trigger is relaxed alongside (tiles fix coverage; the
+# remaining IC-Jacobian rotation bias at <=0.15 rad baselines is what
+# these rows measure).  "disp10" additionally relaxes the coarsest-level
+# RMS-displacement trigger (it keys on the TOTAL warp, which overstates
+# the remaining motion of a warm-started keyframe solve).
+VARIANTS["slam_tiles"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.25,
+)
+VARIANTS["slam_tiles_fine"] = dict(
+    _slam, recenter_blocks=15, recenter_col_blocks=20,
+    fallback_max_rotation=0.25,
+)
+VARIANTS["slam_tiles_disp10"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.25, fallback_max_displacement=10.0,
+)
 
 
 def main():

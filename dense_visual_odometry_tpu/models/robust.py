@@ -412,11 +412,17 @@ def _solve_level(
         and cfg.use_fused_iteration
         and cfg.approximate_image2_gradient
         # "bias" rides the fused kernels (3 extra reduced scalars + a
-        # rank-1 Schur); "affine" falls back to the XLA loop.  Depth
-        # residuals ride the LEVEL kernel natively (a second frozen
-        # window over the current depth map); on the per-iteration
-        # fused path the depth term is added XLA-side in eval_mode.
-        and cfg.illumination in (None, "bias")
+        # rank-1 Schur); "affine" rides the LEVEL kernel (rank-2 Schur
+        # in-kernel, round-4 VERDICT task 6) with its non-loop
+        # evaluations (final Hessian; non-level-kernel iterations) on
+        # the XLA shift-stack path.  Depth residuals ride the LEVEL
+        # kernel natively (a second frozen window over the current
+        # depth map); on the per-iteration fused path the depth term is
+        # added XLA-side in eval_mode.
+        and (
+            cfg.illumination in (None, "bias")
+            or (cfg.illumination == "affine" and cfg.use_level_kernel)
+        )
     )
     use_esm = (
         cfg.use_esm_gradients
@@ -443,6 +449,14 @@ def _solve_level(
                 pre_jac_planes = approximate_jacobian_planes(
                     depth_prev_m[..., ::stride, ::stride], intrinsics,
                     g1x_s, g1y_s, grid_stride=stride,
+                )
+            if cfg.illumination == "affine":
+                # Affine's non-loop evaluations run the XLA shift path
+                # (shift_mode below), which consumes the trailing-6
+                # Jacobian layout; build it alongside the kernel planes.
+                pre_jac = approximate_jacobian(
+                    gray_prev, depth_prev_m, intrinsics,
+                    gx1 / sgain, gy1 / sgain,
                 )
         else:
             g1x = gx1 / sgain
@@ -680,7 +694,13 @@ def _solve_level(
             err = err + _prior_energy(cfg, inv_cov, log_old)
         return hess, rhs, err, sys.count, photometric_hess, weight_lambda
 
-    shift_mode = "fused" if use_fused else "shift"
+    # The per-iteration fused kernel has no rank-2 Schur; under "affine"
+    # the LEVEL kernel runs the loop and any remaining evaluations (the
+    # final Hessian, fallback-forced iterations) use the exact XLA
+    # shift-stack path instead.
+    shift_mode = (
+        "fused" if use_fused and cfg.illumination != "affine" else "shift"
+    )
     if use_shift_stack:
         default_mode = shift_mode
     elif cfg.packed_sampling:
@@ -1095,6 +1115,7 @@ def _solve_level(
                 sigma=cfg.sigma,
                 reference_prior_energy=cfg.reference_prior_energy,
                 illum_bias=cfg.illumination == "bias",
+                illum_affine=cfg.illumination == "affine",
                 depth_planes=(
                     frozen_depth_planes if cfg.use_depth_residuals else None
                 ),

@@ -27,9 +27,11 @@ frozen window over the CURRENT depth map shares the tent-tap sweep, the
 per-pixel depth Jacobian grad Z . J_w - [0,0,1,y',-x',0] is rebuilt from
 the transformed points each iteration, and the Huber-weighted normal
 equations fold into H/b/err exactly like models/robust.py's XLA
-ordering: after the illumination Schur, before the prior).  Only the
-"affine" illumination mode falls back to the XLA loop (measured neutral
-vs in-kernel "bias").  The damped solve uses an unrolled
+ordering: after the illumination Schur, before the prior).  Both
+illumination modes ride the kernel: "bias" as a rank-1 Schur and
+"affine" (round-5) as the rank-2 gain+bias Schur with the unweighted
+pre-fit before the t-scale — every shipped config class now runs
+in-kernel.  The damped solve uses an unrolled
 Cholesky instead of ``jnp.linalg.solve`` (measured equivalent to 2e-5
 relative).  Per-element loop exit replaces the batch-wide
 ``any(~done)`` condition — element results are identical because done
@@ -295,6 +297,7 @@ def _level_kernel(
     block_cols: int = 0,
     halo_x: int = 0,
     grid_wp: int = 0,
+    illum_affine: bool = False,
 ):
     fmax = float(jnp.finfo(jnp.float32).max)
     use_prior = sigma is not None
@@ -504,12 +507,27 @@ def _level_kernel(
             res = jnp.where(valid > 0.0, acc_ref[...] - gray, 0.0)
             count = jnp.sum(valid)
             count_safe = jnp.maximum(count, 1.0)
-            if illum_bias:
+            tpl_c = None
+            if illum_bias or illum_affine:
                 # Valid-mean centering before the t-scale, then an exact
                 # weighted Schur elimination of the exposure-bias
                 # unknown below (models/robust._bias_schur semantics).
                 mu0 = jnp.sum(res) / count_safe
                 res = jnp.where(valid > 0.0, res - mu0, 0.0)
+            if illum_affine:
+                # Affine (gain + bias) pre-fit before robust weighting
+                # (models/robust.py eval ordering): remove the best
+                # UNWEIGHTED gain fit against the valid-mean-centered
+                # template, so the t-scale sees exposure-free residuals;
+                # the rank-2 Schur below then eliminates the remaining
+                # WEIGHTED nuisance exactly (_affine_schur semantics).
+                tpl_mu = jnp.sum(jnp.where(valid > 0.0, gray, 0.0)) \
+                    / count_safe
+                tpl_c = jnp.where(valid > 0.0, gray - tpl_mu, 0.0)
+                alpha = jnp.sum(tpl_c * res) / jnp.maximum(
+                    jnp.sum(tpl_c * tpl_c), 1e-6
+                )
+                res = jnp.where(valid > 0.0, res - alpha * tpl_c, 0.0)
             rsq = res * res
             lam = wlam
             if use_tweights:
@@ -531,7 +549,41 @@ def _level_kernel(
             )
             rhs = tuple(-jnp.sum(jw[i] * res) for i in range(6))
             err = jnp.sum(weights * rsq) / count_safe
-            if illum_bias:
+            if illum_affine:
+                # Rank-2 Schur onto the pose block (gain + bias pair,
+                # models/robust._affine_schur): S = N^T W N with
+                # N = [tpl_c, 1], G = J^T W N, t = N^T W r;
+                # H' = H - G S^-1 G^T, b' = b + G S^-1 t,
+                # err' = err - t^T S^-1 t / count (closed-form 2x2
+                # inverse; applied BEFORE the depth term and the prior,
+                # exactly like the XLA ordering).
+                s_ii = jnp.sum(weights * tpl_c * tpl_c)
+                s_i1 = jnp.sum(weights * tpl_c)
+                s_11 = jnp.sum(weights)
+                t_i = jnp.sum(weights * tpl_c * res)
+                t_1 = jnp.sum(weights * res)
+                det = jnp.maximum(s_ii * s_11 - s_i1 * s_i1, 1e-6)
+                g_i = tuple(jnp.sum(jw[k] * tpl_c) for k in range(6))
+                g_1 = tuple(jnp.sum(jw[k]) for k in range(6))
+                beta_i = (s_11 * t_i - s_i1 * t_1) / det
+                beta_1 = (s_ii * t_1 - s_i1 * t_i) / det
+                m_i = tuple(
+                    (s_11 * g_i[k] - s_i1 * g_1[k]) / det for k in range(6)
+                )
+                m_1 = tuple(
+                    (s_ii * g_1[k] - s_i1 * g_i[k]) / det for k in range(6)
+                )
+                pairs = [(i, j) for i in range(6) for j in range(i, 6)]
+                h21 = tuple(
+                    h - (g_i[i] * m_i[j] + g_1[i] * m_1[j])
+                    for (i, j), h in zip(pairs, h21)
+                )
+                rhs = tuple(
+                    r + g_i[k] * beta_i + g_1[k] * beta_1
+                    for k, r in enumerate(rhs)
+                )
+                err = err - (t_i * beta_i + t_1 * beta_1) / count_safe
+            elif illum_bias:
                 # Rank-1 Schur onto the pose block: H' = H - g g^T/s,
                 # b' = b + g rho/s, err' = err - rho^2/s/count (applied
                 # BEFORE the prior, exactly like the XLA path).
@@ -736,6 +788,7 @@ def _level_kernel(
         "grid_hp", "sigma", "reference_prior_energy", "illum_bias",
         "depth_weight", "depth_huber_delta",
         "n_blocks_x", "block_cols", "halo_x", "grid_wp",
+        "illum_affine",
     ),
 )
 def lm_level_pallas(
@@ -775,6 +828,7 @@ def lm_level_pallas(
     block_cols: int = 0,
     halo_x: int = 0,
     grid_wp: int = 0,
+    illum_affine: bool = False,
 ) -> jnp.ndarray:
     """Run the level-fused LM solver over a (B,)-grid.
 
@@ -805,7 +859,7 @@ def lm_level_pallas(
         use_depth=use_depth, depth_weight=depth_weight,
         depth_huber_delta=depth_huber_delta,
         n_blocks_x=n_blocks_x, block_cols=block_cols, halo_x=halo_x,
-        grid_wp=grid_wp,
+        grid_wp=grid_wp, illum_affine=illum_affine,
     )
     in_cols = scal.shape[-1]
     grid_plane = lambda i: (i, 0, 0)  # noqa: E731
@@ -908,6 +962,7 @@ def solve_level_fused(
     depth_weight: float = 1.0,
     depth_huber_delta: float = 0.03,
     n_blocks_x: int = 1,
+    illum_affine: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
     """Batch-shaped wrapper: one level solved end-to-end on-chip.
@@ -1132,7 +1187,7 @@ def solve_level_fused(
         depth_planes=zplanes_f, zgrad_planes=zgrad_f,
         depth_weight=depth_weight, depth_huber_delta=depth_huber_delta,
         n_blocks_x=nbx, block_cols=t_cols, halo_x=halo_x,
-        grid_wp=grid_wp0,
+        grid_wp=grid_wp0, illum_affine=illum_affine,
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)
