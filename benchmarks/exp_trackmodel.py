@@ -31,6 +31,11 @@ def main():
                     help="per-frame model render (KinectFusion loop)")
     ap.add_argument("--raycast", default=None,
                     choices=["splat", "march"])
+    ap.add_argument("--brick", action="store_true",
+                    help="brick-grid sparse volume (round-5): "
+                         "--resolution becomes the VIRTUAL resolution")
+    ap.add_argument("--pool", type=int, default=24576)
+    ap.add_argument("--active", type=int, default=6144)
     ap.add_argument("--out",
                     default=str(REPO / "benchmarks" / "trackmodel.jsonl"))
     args = ap.parse_args()
@@ -61,10 +66,22 @@ def main():
     rgb0, depth0 = seq.frame(0)
     d0 = np.asarray(depth0, np.float64) * seq.camera.depth_scale
     z_med = float(np.median(d0[d0 > 0]))
-    tcfg = TSDFConfig.around(
-        (0.0, 0.0, z_med), args.extent, resolution=args.resolution,
-        truncation=4.0 * args.extent / args.resolution,
-    )
+    if args.brick:
+        from dense_visual_odometry_tpu.models.brick_tsdf import (
+            BrickTSDFConfig,
+        )
+
+        res = args.resolution - args.resolution % 8
+        tcfg = BrickTSDFConfig.around(
+            (0.0, 0.0, z_med), args.extent, resolution=res,
+            truncation=4.0 * args.extent / res,
+            pool_size=args.pool, active_bricks=args.active,
+        )
+    else:
+        tcfg = TSDFConfig.around(
+            (0.0, 0.0, z_med), args.extent, resolution=args.resolution,
+            truncation=4.0 * args.extent / args.resolution,
+        )
     policy = ModelTrackerPolicy(
         render_every_frame=args.kinfu,
         raycast=args.raycast or ("march" if args.kinfu else "splat"),
@@ -99,6 +116,14 @@ def main():
         "failures": tracker.failures,
         "voxel_m": round(tcfg.voxel_size, 4),
         "mode": "kinfu" if args.kinfu else "keyframe",
+        "volume": "brick" if args.brick else "dense",
+        "bricks_used": (
+            int(tracker.volume.n_used) if args.brick else None
+        ),
+        "bricks_dropped": (
+            int(tracker.volume.n_dropped) if args.brick else None
+        ),
+        "pool": args.pool if args.brick else None,
         "raycast": policy.raycast,
         "backend": jax.default_backend(),
     }

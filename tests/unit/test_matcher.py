@@ -338,3 +338,34 @@ class TestCommittedWeights:
             for e, p in zip(est, poses)
         ]
         assert max(errs) < 0.02, f"per-frame pose errors {errs}"
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """Torch-format interop seam (reference loads pretrained torch
+    checkpoints, loftr.py:31-54): save -> load through a real torch
+    state-dict file reproduces every parameter bitwise, including the
+    OIHW<->HWIO conv relayout, and a {"state_dict": ...} wrapper (the
+    pretrained-file convention) unwraps."""
+    import jax
+    import numpy as np
+    import torch
+
+    from dense_visual_odometry_tpu.models import matcher
+
+    params = matcher.init_params(jax.random.PRNGKey(0), dim=16, layers=1,
+                                 channels=(8, 16))
+    path = tmp_path / "loftr_lite.pt"
+    matcher.save_params_torch(path, params)
+    back = matcher.load_params_torch(path)
+    assert set(back) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(params[k]), err_msg=k)
+    # torch-side shape convention: conv kernels are OIHW in the file.
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    assert state["conv0_w"].shape == (8, 1, 3, 3)
+    matcher.load_params_torch({"state_dict": state})
+    import pytest
+
+    with pytest.raises(ValueError):
+        matcher.load_params_torch({"bogus_key": torch.zeros(3)})
