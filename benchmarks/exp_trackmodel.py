@@ -35,6 +35,7 @@ def main():
                     help="brick-grid sparse volume (round-5): "
                          "--resolution becomes the VIRTUAL resolution")
     ap.add_argument("--pool", type=int, default=24576)
+    ap.add_argument("--trunc-voxels", type=float, default=4.0)
     ap.add_argument("--active", type=int, default=6144)
     ap.add_argument("--out",
                     default=str(REPO / "benchmarks" / "trackmodel.jsonl"))
@@ -74,7 +75,7 @@ def main():
         res = args.resolution - args.resolution % 8
         tcfg = BrickTSDFConfig.around(
             (0.0, 0.0, z_med), args.extent, resolution=res,
-            truncation=4.0 * args.extent / res,
+            truncation=args.trunc_voxels * args.extent / res,
             pool_size=args.pool, active_bricks=args.active,
         )
     else:

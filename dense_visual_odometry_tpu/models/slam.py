@@ -304,6 +304,8 @@ class SlamSession:
         for b, (_, j, _) in enumerate(candidates):
             if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
                 continue
+            if not _invertible_pose(transforms[b]):
+                continue
             info = hessians[b]
             if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
                 info = np.eye(6)
@@ -342,6 +344,8 @@ class SlamSession:
         best = None
         for b, (_, j) in enumerate(cand):
             if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
+                continue
+            if not _invertible_pose(transforms[b]):
                 continue
             if best is None or errs[b] < errs[best[0]]:
                 best = (b, j)
@@ -727,6 +731,29 @@ class SlamSession:
     @property
     def num_keyframes(self) -> int:
         return len(self.keyframe_poses)
+
+
+def _invertible_pose(t: np.ndarray, tol: float = 0.1) -> bool:
+    """A dense-verification transform is usable as a graph edge only if
+    it is finite and a genuine rigid pose (|det R - 1| small).  A
+    degenerate solve must reject the CANDIDATE, never crash the session
+    (round-5: a TPU SLAM run died in np.linalg.inv on a verification
+    output; the gate belongs here regardless of the producer)."""
+    ok = bool(
+        np.all(np.isfinite(t))
+        and abs(float(np.linalg.det(t[:3, :3])) - 1.0) <= tol
+    )
+    if not ok:
+        import logging
+
+        logging.getLogger("dvo.slam").warning(
+            "rejected degenerate verification transform (det R = %s, "
+            "finite=%s)",
+            float(np.linalg.det(t[:3, :3])) if np.all(np.isfinite(t))
+            else float("nan"),
+            bool(np.all(np.isfinite(t))),
+        )
+    return ok
 
 
 @functools.partial(jax.jit, static_argnames=("dh", "dw"))
