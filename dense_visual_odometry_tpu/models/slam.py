@@ -306,12 +306,15 @@ class SlamSession:
                 continue
             if not _invertible_pose(transforms[b]):
                 continue
+            meas = _safe_inv_pose(transforms[b])
+            if meas is None:
+                continue
             info = hessians[b]
             if not np.all(np.isfinite(info)) or np.trace(info) <= 0:
                 info = np.eye(6)
             self._edges_i.append(j)
             self._edges_j.append(kf_id)
-            self._edges_meas.append(np.linalg.inv(transforms[b]))
+            self._edges_meas.append(meas)
             self._edges_info.append(info)
             self.loop_closures.append((j, kf_id, float(errs[b])))
 
@@ -352,10 +355,13 @@ class SlamSession:
         if best is None:
             return False
         b, j = best
+        rel = _safe_inv_pose(transforms[b])
+        if rel is None:
+            return False
         self._active_kf = j
         self._keyframe = self._kf_frames[j]
         self._kf_valid_count = self._valid_count(self._keyframe)
-        self._rel_to_kf = np.linalg.inv(transforms[b])
+        self._rel_to_kf = rel
         self._last_inc = np.eye(4)
         self.relocalizations.append((self._frame_idx, j))
         return True
@@ -530,9 +536,11 @@ class SlamSession:
             success = pack[_PK_ERROR] <= self.policy.track_max_error
 
         if success:
+            rel = _safe_inv_pose(transform)  # keyframe -> frame pose
+            success = rel is not None
+        if success:
             self._lost_count = 0
             prev_rel = self._rel_to_kf
-            rel = np.linalg.inv(transform)  # keyframe -> frame pose
             self._last_inc = np.linalg.inv(rel) @ prev_rel  # frame motion
             self._rel_to_kf = rel
         else:
@@ -742,18 +750,30 @@ def _invertible_pose(t: np.ndarray, tol: float = 0.1) -> bool:
     ok = bool(
         np.all(np.isfinite(t))
         and abs(float(np.linalg.det(t[:3, :3])) - 1.0) <= tol
+        and abs(float(np.linalg.det(t)) - float(np.linalg.det(t[:3, :3])))
+        <= tol
     )
     if not ok:
         import logging
 
         logging.getLogger("dvo.slam").warning(
-            "rejected degenerate verification transform (det R = %s, "
-            "finite=%s)",
-            float(np.linalg.det(t[:3, :3])) if np.all(np.isfinite(t))
-            else float("nan"),
-            bool(np.all(np.isfinite(t))),
+            "rejected degenerate verification transform:\n%r", t
         )
     return ok
+
+
+def _safe_inv_pose(t: np.ndarray):
+    """``np.linalg.inv`` that returns None (with the offending matrix
+    logged) instead of raising — callers treat the solve as failed."""
+    try:
+        return np.linalg.inv(t)
+    except np.linalg.LinAlgError:
+        import logging
+
+        logging.getLogger("dvo.slam").warning(
+            "singular pose from solver:\n%r", t
+        )
+        return None
 
 
 @functools.partial(jax.jit, static_argnames=("dh", "dw"))
