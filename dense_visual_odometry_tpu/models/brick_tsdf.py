@@ -405,11 +405,17 @@ def _raycast_march_impl(
             origin_w[2] + dwz * t,
         )
 
-    # --- phase 1: brick-occupancy march (empty-space skipping) --------
-    # Half-edge steps cannot tunnel through a brick whose ray chord
-    # exceeds half an edge; shorter grazing clips are caught by the
-    # one-step rewind below (fine phase starts a full coarse step back).
+    # --- adaptive march: brick-skip in empty space, fine in the band --
+    # One fori_loop whose step size depends on where the ray currently
+    # is: half-brick jumps through UNALLOCATED bricks (the skip cannot
+    # tunnel through a brick whose ray chord exceeds half an edge), fine
+    # sub-voxel steps inside allocated ones.  Unlike a fixed two-phase
+    # (skip-then-refine) design this cannot expire mid-ray after
+    # grazing a foreground band — measured on the fr1-difficulty scene
+    # the two-phase version lost ~5% of pixels versus the dense march
+    # exactly that way (out/logs/brick_diag.log).
     dt_c = jnp.float32(brick_edge * 0.5)
+    dt_f = jnp.float32(vs * 0.75)
     t0 = jnp.float32(cfg.min_depth)
 
     def occ_at(t):
@@ -426,21 +432,6 @@ def _raycast_march_impl(
         occ = jnp.take(occ_flat, flat.reshape(-1)).reshape(h, w)
         return occ & inside
 
-    def coarse_body(i, carry):
-        found, t_enter = carry
-        t = t0 + dt_c * i.astype(jnp.float32)
-        hit = occ_at(t) & (t <= max_depth)
-        t_enter = jnp.where(
-            (~found) & hit, jnp.maximum(t - dt_c, t0), t_enter
-        )
-        return found | hit, t_enter
-
-    found_c, t_enter = jax.lax.fori_loop(
-        0, n_coarse, coarse_body,
-        (jnp.zeros((h, w), bool), jnp.full((h, w), jnp.float32(max_depth))),
-    )
-
-    # --- phase 2: fine march on the truncated field -------------------
     def sample_nearest(t):
         px, py, pz = point(t)
         ix = jnp.round((px - ox) / vs - 0.5).astype(jnp.int32)
@@ -457,25 +448,33 @@ def _raycast_march_impl(
         phi = jnp.take(phi_field, flat.reshape(-1)).reshape(h, w)
         return jnp.where(inside & ok, phi, 1.0)
 
-    dt_f = jnp.float32(vs * 0.75)
+    n_steps = n_coarse + n_fine
 
-    def fine_body(i, carry):
-        found, t_hit, phi_prev, t_prev = carry
-        t = t_enter + dt_f * (i + 1).astype(jnp.float32)
-        phi = sample_nearest(t)
+    def body(_, carry):
+        found, t_hit, phi_prev, t_prev, t_cur = carry
+        in_band = occ_at(t_cur)
+        phi = sample_nearest(t_cur)
+        # Crossing localized by linear interpolation; when the previous
+        # sample was a skip point (phi_prev = 1 in empty space) the
+        # interp lands early and the trilinear sphere-tracing refinement
+        # below pulls it onto the surface.
         crossing = (~found) & (phi < 0.0) & (phi_prev >= 0.0)
         denom = jnp.maximum(phi_prev - phi, 1e-6)
-        t_lin = t_prev + (t - t_prev) * phi_prev / denom
+        t_lin = t_prev + (t_cur - t_prev) * phi_prev / denom
         t_hit = jnp.where(crossing, t_lin, t_hit)
-        return found | crossing, t_hit, phi, t
+        found = found | crossing
+        step = jnp.where(in_band, dt_f, dt_c)
+        t_next = jnp.where(found | (t_cur > max_depth), t_cur, t_cur + step)
+        return found, t_hit, phi, t_cur, t_next
 
-    phi0 = sample_nearest(t_enter)
-    found, t_hit, _, _ = jax.lax.fori_loop(
-        0, n_fine, fine_body,
+    t0_plane = jnp.full((h, w), t0, jnp.float32)
+    phi0 = sample_nearest(t0_plane)
+    found, t_hit, _, _, _ = jax.lax.fori_loop(
+        0, n_steps, body,
         (jnp.zeros((h, w), bool), jnp.zeros((h, w), jnp.float32),
-         phi0, t_enter),
+         phi0, t0_plane,
+         t0_plane + jnp.where(occ_at(t0_plane), dt_f, dt_c)),
     )
-    found = found & found_c
     valid = found & (t_hit > cfg.min_depth) & (t_hit <= max_depth)
 
     def sample_trilinear(field, t):
