@@ -1191,6 +1191,17 @@ def solve_level_fused(
     )
     est = out[:, 0:16].reshape(-1, 4, 4)
     anchor = out[:, 16:32].reshape(-1, 4, 4)
+    # The affine bottom row is STRUCTURAL — enforce it here rather than
+    # trusting the kernel's scalar stores: on real TPU the tile-variant
+    # kernel was observed (round 5, out/logs/r5_slamtiles2.log) to
+    # occasionally leave out column 15 ([3,3]) as 0 while every other
+    # column of the row was correct; one fused constant write removes
+    # the whole class of failure for all consumers.
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), est.shape[:-2] + (4,)
+    )
+    est = est.at[..., 3, :].set(bottom)
+    anchor = anchor.at[..., 3, :].set(bottom)
     wlam = out[:, 32]
     err = out[:, 34]
     count = out[:, 35]
