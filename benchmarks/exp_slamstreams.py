@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--config",
                     default=str(REPO / "configs" / "tpu_fast.json"))
     ap.add_argument("--illum", action="store_true", default=True)
+    ap.add_argument("--two-step", action="store_true",
+                    help="two-step tracking (batched prev-frame state, "
+                         "round 5): frame-to-prev kernel solve + short "
+                         "keyframe refinement in the fused batched step")
     ap.add_argument("--out",
                     default=str(REPO / "benchmarks" / "slamstreams.jsonl"))
     args = ap.parse_args()
@@ -44,6 +48,11 @@ def main():
     from dense_visual_odometry_tpu.models.batched_slam import (
         BatchedSlamSession,
     )
+    from dense_visual_odometry_tpu.models.slam import KeyframePolicy
+
+    policy = (
+        KeyframePolicy(two_step_tracking=True) if args.two_step else None
+    )
 
     cfg_dict = json.loads(Path(args.config).read_text())
     if args.illum:
@@ -55,7 +64,8 @@ def main():
     out_path = Path(args.out)
 
     for b in args.streams:
-        slam = BatchedSlamSession(seq.camera, cfg, n_streams=b)
+        slam = BatchedSlamSession(seq.camera, cfg, n_streams=b,
+                                  policy=policy)
 
         def batch_at(t):
             imgs, deps = [], []
@@ -102,16 +112,38 @@ def main():
         init_b = np.stack(
             [s_.init_guess() for s_ in slam.sessions]
         ).astype(np.float32)
-        for _ in range(6):
-            s0 = time.perf_counter()
-            _, pack_d = _fused_step_batched(
-                slam._keyframes, img_d, dep_d, slam._intrinsics,
-                np.float32(seq.camera.depth_scale), init_b, cfg,
+        if args.two_step:
+            from dense_visual_odometry_tpu.models.batched_slam import (
+                _fused_step_two_batched,
             )
-            np.asarray(pack_d)
-            sv_times.append(time.perf_counter() - s0)
+
+            prev_from_kf = np.stack(
+                [np.linalg.inv(s_._rel_to_kf) for s_ in slam.sessions]
+            ).astype(np.float32)
+            inc_b = np.stack(
+                [s_._last_inc for s_ in slam.sessions]
+            ).astype(np.float32)
+            for _ in range(6):
+                s0 = time.perf_counter()
+                _, pack_d = _fused_step_two_batched(
+                    slam._keyframes, slam._prev_fds, img_d, dep_d,
+                    slam._intrinsics, np.float32(seq.camera.depth_scale),
+                    inc_b, prev_from_kf, cfg, slam._cfg_refine,
+                )
+                np.asarray(pack_d)
+                sv_times.append(time.perf_counter() - s0)
+        else:
+            for _ in range(6):
+                s0 = time.perf_counter()
+                _, pack_d = _fused_step_batched(
+                    slam._keyframes, img_d, dep_d, slam._intrinsics,
+                    np.float32(seq.camera.depth_scale), init_b, cfg,
+                )
+                np.asarray(pack_d)
+                sv_times.append(time.perf_counter() - s0)
         rec = {
             "streams": b,
+            "two_step": bool(args.two_step),
             "frames_per_stream": args.frames - warm,
             "compile_plus_warm_s": round(compile_s, 1),
             "median_batch_ms": round(med * 1e3, 1),
