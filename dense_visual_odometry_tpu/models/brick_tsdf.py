@@ -432,7 +432,10 @@ def _raycast_march_impl(
         occ = jnp.take(occ_flat, flat.reshape(-1)).reshape(h, w)
         return occ & inside
 
-    def sample_nearest(t):
+    def sample_nearest_occ(t):
+        """(phi, allocated?) at the nearest voxel — the occupancy bit
+        falls out of the table lookup the phi gather needs anyway, so
+        the adaptive step costs TWO gathers, not three."""
         px, py, pz = point(t)
         ix = jnp.round((px - ox) / vs - 0.5).astype(jnp.int32)
         iy = jnp.round((py - oy) / vs - 0.5).astype(jnp.int32)
@@ -446,14 +449,17 @@ def _raycast_march_impl(
             jnp.clip(iz, 0, d - 1),
         )
         phi = jnp.take(phi_field, flat.reshape(-1)).reshape(h, w)
-        return jnp.where(inside & ok, phi, 1.0)
+        occ = inside & ok
+        return jnp.where(occ, phi, 1.0), occ
+
+    def sample_nearest(t):
+        return sample_nearest_occ(t)[0]
 
     n_steps = n_coarse + n_fine
 
     def body(_, carry):
         found, t_hit, phi_prev, t_prev, t_cur = carry
-        in_band = occ_at(t_cur)
-        phi = sample_nearest(t_cur)
+        phi, in_band = sample_nearest_occ(t_cur)
         # Crossing localized by linear interpolation; when the previous
         # sample was a skip point (phi_prev = 1 in empty space) the
         # interp lands early and the trilinear sphere-tracing refinement
