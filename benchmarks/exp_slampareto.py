@@ -108,6 +108,17 @@ VARIANTS["slam_tiles_disp10"] = dict(
     _slam, recenter_blocks=8, recenter_col_blocks=10,
     fallback_max_rotation=0.25, fallback_max_displacement=10.0,
 )
+# Middle-ground rotation trigger: keyframe solves under ~4.6 deg of
+# baseline rotation ride the kernel (gradient-direction bias < 0.4%),
+# larger baselines keep the exact gather fallback for accuracy.
+VARIANTS["slam_tiles_rot008"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.08,
+)
+VARIANTS["slam_tiles_rot008_disp10"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.08, fallback_max_displacement=10.0,
+)
 
 
 def main():
