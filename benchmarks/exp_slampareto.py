@@ -119,6 +119,17 @@ VARIANTS["slam_tiles_rot008_disp10"] = dict(
     _slam, recenter_blocks=8, recenter_col_blocks=10,
     fallback_max_rotation=0.08, fallback_max_displacement=10.0,
 )
+# Round-5 probe finding (out/logs/probeB.log): the constant per-frame
+# degradation of the tile rows is robust_init_selection x tiles — when
+# the selector (noise-margin) picks the IDENTITY start for a
+# keyframe-baseline solve, tiles keep it on the kernel path where the
+# frozen-window approximation degrades a from-scratch large-warp solve
+# (pre-tiles the same start failed coverage and took the exact gather).
+# With the selector off, keyframe warm starts are always used:
+VARIANTS["slam_tiles_noinit"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.25, robust_init_selection=False,
+)
 
 
 def main():
