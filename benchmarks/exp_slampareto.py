@@ -130,6 +130,17 @@ VARIANTS["slam_tiles_noinit"] = dict(
     _slam, recenter_blocks=8, recenter_col_blocks=10,
     fallback_max_rotation=0.25, robust_init_selection=False,
 )
+# + the round-5 clip-bound fix: keyframe baselines on the hard tail
+# exceed the default +-12 px recenter clip; bound 48 covers them.
+VARIANTS["slam_tiles_noinit_cb48"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.25, robust_init_selection=False,
+    recenter_center_bound=48,
+)
+VARIANTS["slam_tiles_cb48"] = dict(
+    _slam, recenter_blocks=8, recenter_col_blocks=10,
+    fallback_max_rotation=0.25, recenter_center_bound=48,
+)
 
 
 def main():

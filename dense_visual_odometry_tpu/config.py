@@ -271,6 +271,12 @@ class RobustDVOConfig:
     # (ops/pallas/stackwarp.tile_layout).  Requires ``recenter_blocks``
     # (the row-block count).  None/1 = row blocks or global center.
     recenter_col_blocks: Optional[int] = None
+    # Tile recentering clip bound in pixels (None = 4x the larger tap
+    # radius, the odometry default).  Keyframe-class baselines measure
+    # >12 px of displacement, which saturates the default clip and
+    # silently drops pixels; the SLAM regime wants ~2x the expected
+    # baseline displacement (extraction padding is the only cost).
+    recenter_center_bound: Optional[int] = None
     # Anisotropic shift ball (block path only): vertical tap radius,
     # defaulting to ``shift_stack_radius``.  With per-block VERTICAL
     # recentering the row-structured displacement component (rotation,
@@ -432,6 +438,14 @@ class RobustDVOConfig:
                         "use_esm_gradients (the ESM warped image "
                         "assumes a single frozen window center)"
                     )
+        if self.recenter_center_bound is not None:
+            if self.recenter_col_blocks is None or self.recenter_col_blocks < 2:
+                raise ValueError(
+                    "recenter_center_bound requires recenter_col_blocks "
+                    "> 1 (it parameterizes the tile path)"
+                )
+            if self.recenter_center_bound < 1:
+                raise ValueError("recenter_center_bound must be >= 1")
         if self.shift_stack_radius_y is not None:
             if self.recenter_blocks is None or self.recenter_blocks < 2:
                 raise ValueError(

@@ -737,6 +737,7 @@ def _solve_level(
                     if cfg.shift_stack_radius_y is not None
                     else radius
                 ),
+                center_bound=cfg.recenter_center_bound,
             )
         elif use_blocks:
             # Judge the path that will actually run: per-block centers
@@ -858,6 +859,7 @@ def _solve_level(
         nbx0 = cfg.recenter_col_blocks
         cu0, cv0 = compute_recenter_tiles(
             u0, v0, radius0, stride, nby0, nbx0, vg0, radius_y=radius0_y,
+            center_bound=cfg.recenter_center_bound,
         )
         hp0, wp0 = u0.shape[-2], u0.shape[-1]
         tshape = cu0.shape[-2:]
@@ -875,12 +877,14 @@ def _solve_level(
                     ),
                     hp0, wp0, radius0, stride, nby0, nbx0,
                     radius_y=radius0_y,
+                    center_bound=cfg.recenter_center_bound,
                 )
                 return pl0.reshape(batch_shape + pl0.shape[1:])
             return extract_parity_planes_tiles(
                 img[None], cu0[None], cv0[None],
                 hp0, wp0, radius0, stride, nby0, nbx0,
                 radius_y=radius0_y,
+                center_bound=cfg.recenter_center_bound,
             )[0]
 
         planes0 = _extract_tiles(gray_curr)

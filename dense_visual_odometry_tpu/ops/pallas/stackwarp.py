@@ -503,13 +503,18 @@ def compute_recenter_tiles(
     n_blocks_x: int,
     coord_mask: jnp.ndarray | None = None,
     radius_y: int | None = None,
+    center_bound: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-tile integer recentering offsets.
 
     u, v (..., H', W') -> cu, cv (..., nby, nbx) int32 — each tile's
     offset the rounded masked mean displacement of its pixels (tiles
-    with fewer than 8 valid pixels inherit the global mean).  Same clip
-    convention as :func:`compute_recenter`.
+    with fewer than 8 valid pixels inherit the global mean).  Default
+    clip convention as :func:`compute_recenter` (+-4x the larger tap
+    radius); ``center_bound`` overrides it — keyframe-class baselines
+    measure >12 px of displacement, which SATURATES the default clip
+    (round-5 probe), so the SLAM regime wants a larger bound (the only
+    cost is extraction padding).
     """
     if radius_y is None:
         radius_y = radius
@@ -532,7 +537,8 @@ def compute_recenter_tiles(
     enough = count >= 8.0
     mean_du = jnp.where(enough, mean_du, gmean_du[..., None, None])
     mean_dv = jnp.where(enough, mean_dv, gmean_dv[..., None, None])
-    center_bound = 4 * max(radius, radius_y)
+    if center_bound is None:
+        center_bound = 4 * max(radius, radius_y)
     cu = jnp.clip(
         jnp.round(mean_du), -center_bound, center_bound
     ).astype(jnp.int32)
@@ -551,6 +557,7 @@ def shift_coverage_tiles(
     n_blocks_x: int,
     coord_mask: jnp.ndarray | None = None,
     radius_y: int | None = None,
+    center_bound: int | None = None,
 ) -> jnp.ndarray:
     """Fraction of valid pixels kept by PER-TILE recentered shift balls
     (the tile analogue of :func:`shift_coverage_blocks` — the fallback
@@ -564,7 +571,7 @@ def shift_coverage_tiles(
     )
     cu, cv = compute_recenter_tiles(
         u, v, radius, s, n_blocks_y, n_blocks_x, coord_mask,
-        radius_y=radius_y,
+        radius_y=radius_y, center_bound=center_bound,
     )
     col = jnp.arange(wp, dtype=jnp.float32) * s
     row = jnp.arange(hp, dtype=jnp.float32) * s
@@ -631,6 +638,7 @@ def extract_parity_planes_tiles(
     n_blocks_y: int = 1,
     n_blocks_x: int = 1,
     radius_y: int | None = None,
+    center_bound: int | None = None,
 ) -> jnp.ndarray:
     """Tile-recentered window extraction + parity split (mosaic layout).
 
@@ -649,7 +657,8 @@ def extract_parity_planes_tiles(
     )
     slab_h = t_y + halo_y
     slab_w = t_x + halo_x
-    center_bound = 4 * max(radius, radius_y)
+    if center_bound is None:
+        center_bound = 4 * max(radius, radius_y)
     img = image.astype(jnp.float32)
     pad_r = radius_y + center_bound
     pad_c = radius + center_bound
