@@ -374,17 +374,8 @@ def slab_stack(
     pad = pad_to - x.shape[-2]
     padspec = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
     xp = jnp.pad(x, padspec)
-    # One axis-gather with a static index map instead of nblk slice+concat
-    # ops: XLA lowers a constant-index take along one axis to an
-    # efficient row gather, where the concat chain materialized
-    # intermediate copies (measured 48 ms/level-0 at B=512 for the 2-D
-    # tile mosaic, out/logs/r5_extractprof.log).
-    import numpy as _np
-
-    rows = _np.concatenate(
-        [_np.arange(k * t, k * t + t + halo) for k in range(nblk)]
-    )
-    return jnp.take(xp, jnp.asarray(rows, jnp.int32), axis=-2)
+    slabs = [xp[..., k * t : k * t + t + halo, :] for k in range(nblk)]
+    return jnp.concatenate(slabs, axis=-2)
 
 
 def extract_parity_planes_blocks(
