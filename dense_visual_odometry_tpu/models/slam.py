@@ -305,6 +305,20 @@ class SlamSession:
             if not (bool(success[b]) and errs[b] <= self.policy.loop_max_error):
                 continue
             if not _invertible_pose(transforms[b]):
+                # Context capture for the round-5 zero-bottom-row hunt:
+                # whether the seeded INIT was already degenerate tells
+                # host-pose corruption apart from a solver artifact.
+                import logging
+
+                logging.getLogger("dvo.slam").warning(
+                    "degenerate-context: kf=%d cand=%d err=%.2f "
+                    "count-like hessian trace=%.3e init_det4=%.6f "
+                    "init_row3=%s",
+                    kf_id, j, float(errs[b]),
+                    float(np.trace(hessians[b])),
+                    float(np.linalg.det(np.asarray(init)[b])),
+                    np.asarray(init)[b, 3].tolist(),
+                )
                 continue
             meas = _safe_inv_pose(transforms[b])
             if meas is None:
